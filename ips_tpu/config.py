@@ -1,0 +1,186 @@
+"""Typed configuration system.
+
+Drop-in compatible with the reference YAML schema (sections opt/dset/misc/
+enc/ips/aggr/tasks, see reference config/mnist_config.yml:1-72), replacing
+the reference's untyped attribute bag (`Struct`, reference utils/utils.py:10-12)
+with a validated dataclass plus CLI-style `key=value` overrides.
+
+New (TPU-native) knobs beyond the reference schema are grouped at the bottom
+of :class:`Config` and all have defaults, so the three shipped reference
+YAMLs load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass
+class TaskConfig:
+    """One prediction task (reference config/mnist_config.yml:51-71)."""
+
+    id: int
+    name: str
+    act_fn: str  # 'softmax' | 'sigmoid'
+    metric: str  # 'accuracy' | 'multilabel_accuracy' | 'auc'
+
+    def __post_init__(self):
+        if self.act_fn not in ("softmax", "sigmoid"):
+            raise ValueError(f"task {self.name}: unknown act_fn {self.act_fn!r}")
+        if self.metric not in ("accuracy", "multilabel_accuracy", "auc"):
+            raise ValueError(f"task {self.name}: unknown metric {self.metric!r}")
+
+
+def _as_tuple2(v) -> Optional[Tuple[int, int]]:
+    if v is None:
+        return None
+    return (int(v[0]), int(v[1]))
+
+
+@dataclasses.dataclass
+class Config:
+    # --- opt (reference config/*_config.yml "#opt") ---
+    n_epoch: int = 1
+    B: int = 16            # optimizer batch size
+    B_seq: int = 16        # loader batch size (B for eager/lazy, 1 for sequential)
+    n_epoch_warmup: float = 10
+    lr: float = 1e-3
+    wd: float = 0.1
+
+    # --- dset ---
+    n_class: int = 10
+    data_dir: str = ""
+    train_fname: str = ""   # camelyon only
+    test_fname: str = ""    # camelyon only
+    n_worker: int = 0
+    pin_memory: bool = True    # accepted for YAML compat; no-op on TPU
+    eager: bool = True         # eager: whole patch tensor to HBM; lazy: stream chunks
+
+    # --- misc ---
+    eps: float = 1e-6
+    seed: int = 0
+    track_efficiency: bool = False
+    track_epoch: int = 0
+
+    # --- enc ---
+    is_image: bool = True
+    enc_type: str = "resnet18"      # 'resnet18' | 'resnet50'
+    pretrained: bool = False
+    n_chan_in: int = 1
+    n_res_blocks: int = 2           # 2 or 4 truncation of the ResNet
+
+    # --- ips ---
+    shuffle: bool = True
+    shuffle_style: str = "batch"    # 'batch' | 'instance'
+    n_token: int = 1
+    N: int = 0                      # total patches per image (0 => variable-N dataset)
+    M: int = 100                    # memory (top-M buffer) size
+    I: int = 100                    # iteration (chunk) size
+    patch_size: Optional[Tuple[int, int]] = None
+    patch_stride: Optional[Tuple[int, int]] = None
+
+    # --- aggr ---
+    use_pos: bool = False
+    H: int = 8
+    D: int = 128
+    D_k: int = 16
+    D_v: int = 16
+    D_inner: int = 512
+    attn_dropout: float = 0.1
+    dropout: float = 0.1
+
+    # --- tasks ---
+    tasks: Dict[str, TaskConfig] = dataclasses.field(default_factory=dict)
+
+    # ===== TPU-native extensions (not in reference schema; all defaulted) =====
+    compute_dtype: str = "float32"     # 'float32' | 'bfloat16' encoder/attn compute
+    use_pallas: bool = False           # fused Pallas score kernel on the hot path
+    mesh_data: int = 1                 # data-parallel mesh axis size
+    mesh_patch: int = 1                # context/patch-parallel mesh axis size
+    donate_buffers: bool = True        # donate train-state in jitted steps
+    checkpoint_dir: str = ""           # orbax checkpoint dir ('' disables)
+    checkpoint_every: int = 0          # epochs between checkpoints (0 disables)
+    resume: bool = False               # resume from latest checkpoint
+    bucket_sizes: Optional[List[int]] = None  # padding buckets for variable-N data
+    mask_padding: bool = False         # mask padded patches in the final aggregation
+                                       # (reference zero-fills without masking,
+                                       #  reference training/iterative.py:7-29)
+    log_every: int = 0                 # steps between stdout loss logs (0 disables)
+    pretrained_path: str = ""          # local .npz with converted pretrained weights
+
+    def __post_init__(self):
+        self.patch_size = _as_tuple2(self.patch_size)
+        self.patch_stride = _as_tuple2(self.patch_stride)
+        if self.enc_type not in ("resnet18", "resnet50"):
+            raise ValueError(f"unknown enc_type {self.enc_type!r}")
+        if self.n_res_blocks not in (2, 4):
+            raise ValueError("n_res_blocks must be 2 or 4")
+        if self.shuffle_style not in ("batch", "instance"):
+            raise ValueError(f"unknown shuffle_style {self.shuffle_style!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
+        if self.M <= 0 or self.I <= 0:
+            raise ValueError("M and I must be positive")
+        if self.B % self.B_seq != 0:
+            # Same contract as the reference: B_seq is either B (eager/lazy)
+            # or 1 (eager sequential) — see reference config/*.yml "#opt".
+            raise ValueError("B must be a multiple of B_seq")
+        if self.D % 2 != 0 and self.use_pos:
+            raise ValueError("use_pos requires even D (sin/cos interleave)")
+        if isinstance(self.tasks, dict):
+            fixed = {}
+            for k, v in self.tasks.items():
+                fixed[k] = v if isinstance(v, TaskConfig) else TaskConfig(**v)
+            self.tasks = fixed
+        if not self.tasks:
+            raise ValueError("config must define at least one task")
+        n_tok_needed = len(self.tasks)
+        if self.n_token < n_tok_needed:
+            raise ValueError(
+                f"n_token={self.n_token} < number of tasks ({n_tok_needed})")
+
+    # -- convenience --------------------------------------------------------
+    @property
+    def task_list(self) -> List[TaskConfig]:
+        return sorted(self.tasks.values(), key=lambda t: t.id)
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return d
+
+    def pretty(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+
+
+def config_from_dict(d: Dict[str, Any]) -> Config:
+    unknown = set(d) - _FIELD_NAMES
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return Config(**d)
+
+
+def _parse_override(val: str) -> Any:
+    """Parse a CLI override value with YAML scalar rules."""
+    return yaml.safe_load(val)
+
+
+def load_config(path: str, overrides: Optional[List[str]] = None) -> Config:
+    """Load a YAML config (reference schema) with optional key=value overrides."""
+    with open(path, "r") as f:
+        d = yaml.safe_load(f)
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        k, v = ov.split("=", 1)
+        d[k.strip()] = _parse_override(v)
+    return config_from_dict(d)

@@ -1,0 +1,111 @@
+"""Threaded, prefetching host data pipeline.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` with
+``num_workers`` processes (reference main.py:45-48) with a
+framework-native loader: a thread pool materializes samples (numpy is
+GIL-releasing for the heavy densify/patchify work) and a bounded prefetch
+queue keeps batches ready while the TPU computes. ``pin_memory`` has no TPU
+meaning; host->HBM transfer overlaps via ``jax.device_put`` in the training
+loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class Dataset:
+    """Minimal dataset protocol: __len__ + __getitem__ -> dict[str, ndarray]."""
+
+    def __len__(self) -> int:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:  # pragma: no cover
+        raise NotImplementedError
+
+
+def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0]:
+        vals = [np.asarray(s[k]) for s in samples]
+        out[k] = np.stack(vals, axis=0)
+    return out
+
+
+class DataLoader:
+    """Shuffling, batching, prefetching iterator over a Dataset.
+
+    Batches are dicts of stacked numpy arrays, like the reference loader's
+    ``{'input': patches, <task>: label}`` samples
+    (reference data/megapixel_mnist/mnist_dataset.py:55-58).
+    """
+
+    def __init__(self, dataset: Dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 0, drop_last: bool = False,
+                 prefetch: int = 2, seed: int = 0,
+                 collate_fn=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = max(1, prefetch)
+        self.collate_fn = collate_fn or _collate
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        nb = len(self)
+        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(nb)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batch_indices()
+        if self.num_workers == 0:
+            for b in batches:
+                yield self.collate_fn([self.dataset[int(i)] for i in b])
+            return
+        yield from self._iter_threaded(batches)
+
+    def _iter_threaded(self, batches: List[np.ndarray]):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[Optional[BaseException]] = [None]
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    def load(b):
+                        samples = list(pool.map(
+                            lambda i: self.dataset[int(i)], b))
+                        return self.collate_fn(samples)
+                    for b in batches:
+                        q.put(load(b))
+            except BaseException as e:  # propagate to consumer
+                error[0] = e
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error[0] is not None:
+            raise error[0]

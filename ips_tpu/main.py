@@ -1,0 +1,111 @@
+"""Training driver CLI.
+
+Reference parity (reference main.py:1-78) with upgrades: the dataset is a
+CLI flag instead of a source edit (reference main.py:22), any config key
+can be overridden on the command line, and checkpoint/resume is available
+(the reference has none — SURVEY.md §5).
+
+Usage:
+    python -m ips_tpu.main --dataset mnist
+    python -m ips_tpu.main --config config/mnist_config.yml B=8 n_epoch=5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ips_tpu.config import Config, load_config
+from ips_tpu.train.loop import evaluate, train_one_epoch
+from ips_tpu.train.metrics import MetricsLogger
+from ips_tpu.train.steps import IPSTrainer
+from ips_tpu.utils.profiling import EfficiencyTracker
+
+
+def build_datasets(conf: Config, dataset: str):
+    if dataset == "mnist":
+        from ips_tpu.data.mnist import MegapixelMNIST
+        return (MegapixelMNIST(conf, train=True),
+                MegapixelMNIST(conf, train=False))
+    if dataset == "traffic":
+        from ips_tpu.data.traffic import TrafficSigns
+        return (TrafficSigns(conf, train=True),
+                TrafficSigns(conf, train=False))
+    if dataset == "camelyon":
+        from ips_tpu.data.camelyon.dataset import CamelyonFeatures
+        return (CamelyonFeatures(conf, train=True),
+                CamelyonFeatures(conf, train=False))
+    raise ValueError(f"unknown dataset {dataset!r}")
+
+
+def build_loaders(conf: Config, train_data, test_data):
+    from ips_tpu.data.loader import DataLoader
+    train_loader = DataLoader(train_data, batch_size=conf.B_seq, shuffle=True,
+                              num_workers=conf.n_worker, seed=conf.seed)
+    test_loader = DataLoader(test_data, batch_size=conf.B_seq, shuffle=False,
+                             num_workers=conf.n_worker)
+    return train_loader, test_loader
+
+
+def run(conf: Config, dataset: str):
+    np.random.seed(conf.seed)
+    print("Used config:")
+    print(conf.pretty(), flush=True)
+
+    train_data, test_data = build_datasets(conf, dataset)
+    train_loader, test_loader = build_loaders(conf, train_data, test_data)
+
+    trainer = IPSTrainer(conf, rng=jax.random.PRNGKey(conf.seed))
+
+    ckpt_mgr = None
+    start_epoch = 0
+    if conf.checkpoint_dir:
+        from ips_tpu.utils.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(conf.checkpoint_dir)
+        if conf.resume:
+            start_epoch = ckpt_mgr.restore(trainer) or 0
+
+    log_train = MetricsLogger(conf.task_list)
+    log_test = MetricsLogger(conf.task_list)
+    tracker = EfficiencyTracker(conf)
+
+    for epoch in range(start_epoch, conf.n_epoch):
+        lr = train_one_epoch(trainer, train_loader, epoch, log_train, conf,
+                             tracker)
+        log_train.compute_metric()
+        log_train.print_stats(len(log_train.metrics[conf.task_list[0].name]) - 1,
+                              train=True, lr=lr)
+
+        evaluate(trainer, test_loader, log_test, conf)
+        log_test.compute_metric()
+        log_test.print_stats(len(log_test.metrics[conf.task_list[0].name]) - 1,
+                             train=False)
+
+        if ckpt_mgr and conf.checkpoint_every and \
+                (epoch + 1) % conf.checkpoint_every == 0:
+            ckpt_mgr.save(trainer, epoch + 1)
+
+    if ckpt_mgr:
+        ckpt_mgr.save(trainer, conf.n_epoch)
+    return trainer, log_train, log_test
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="ips_tpu training driver")
+    p.add_argument("--dataset", default="mnist",
+                   choices=["mnist", "traffic", "camelyon"])
+    p.add_argument("--config", default=None,
+                   help="YAML config path (default: config/<dataset>_config.yml)")
+    p.add_argument("overrides", nargs="*",
+                   help="config overrides as key=value")
+    a = p.parse_args(argv)
+    cfg_path = a.config or os.path.join("config", f"{a.dataset}_config.yml")
+    conf = load_config(cfg_path, a.overrides)
+    run(conf, a.dataset)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Patch encoders: truncated ResNet (images) and feature projector.
+
+Parity notes:
+  * Conv encoder = torchvision-style ResNet-18/50 truncated after layer2
+    (n_res_blocks=2) or layer4 (n_res_blocks=4), with the 7x7 stem conv
+    rebuilt for ``n_chan_in`` channels, ending in global average pooling
+    (reference architecture/ips_net.py:17-52).
+  * Feature projector = LayerNorm(no affine) -> Linear -> BatchNorm -> ReLU
+    (reference architecture/ips_net.py:54-60).
+
+TPU-native: NHWC layout (XLA:TPU's native conv layout), BatchNorm with
+torch semantics (momentum .1 == flax momentum .9, eps 1e-5), and a
+configurable compute dtype (bf16 matmul/conv with fp32 batch statistics).
+Pretrained ImageNet weights load from a local converted ``.npz`` (see
+ips_tpu/models/pretrained.py) since the build environment has no network
+egress; parity knob: reference ips_net.py:20-25.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torchvision's kaiming_normal_(mode='fan_out', nonlinearity='relu')
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class BasicBlock(nn.Module):
+    """ResNet-18/34 residual block (3x3 -> 3x3)."""
+
+    filters: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name)
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, kernel_init=_conv_init,
+                    dtype=self.dtype, name="conv1")(x)
+        y = norm("bn1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                    kernel_init=_conv_init, dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if residual.shape[-1] != self.filters or self.stride != 1:
+            residual = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=_conv_init,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = norm("downsample_bn")(residual)
+        return jax.nn.relu(y + residual)
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet-50 residual block (1x1 -> 3x3 -> 1x1, expansion 4)."""
+
+    width: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name)
+        out_ch = self.width * 4
+        residual = x
+        y = nn.Conv(self.width, (1, 1), use_bias=False, kernel_init=_conv_init,
+                    dtype=self.dtype, name="conv1")(x)
+        y = jax.nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, kernel_init=_conv_init,
+                    dtype=self.dtype, name="conv2")(y)
+        y = jax.nn.relu(norm("bn2")(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, kernel_init=_conv_init,
+                    dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        if residual.shape[-1] != out_ch or self.stride != 1:
+            residual = nn.Conv(out_ch, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=_conv_init,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = norm("downsample_bn")(residual)
+        return jax.nn.relu(y + residual)
+
+
+_STAGE_BLOCKS = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
+
+
+def encoder_out_dim(enc_type: str, n_res_blocks: int) -> int:
+    """Feature dim after truncation (128/512 for r18, 512/2048 for r50)."""
+    if enc_type == "resnet18":
+        return 128 if n_res_blocks == 2 else 512
+    return 512 if n_res_blocks == 2 else 2048
+
+
+class ConvPatchEncoder(nn.Module):
+    """Truncated ResNet over NHWC patches -> pooled feature vector."""
+
+    enc_type: str = "resnet18"
+    n_chan_in: int = 3
+    n_res_blocks: int = 2      # 2 => stem+layer1+layer2; 4 => all stages
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        """x: (B, H, W, C) -> (B, D_out)."""
+        blocks: Sequence[int] = _STAGE_BLOCKS[self.enc_type]
+        is_bottleneck = self.enc_type == "resnet50"
+
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
+        y = jax.nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        n_stages = 2 if self.n_res_blocks == 2 else 4
+        for stage in range(n_stages):
+            width = 64 * (2 ** stage)
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks[stage]):
+                name = f"layer{stage + 1}_block{b}"
+                if is_bottleneck:
+                    y = BottleneckBlock(width=width,
+                                        stride=stride if b == 0 else 1,
+                                        dtype=self.dtype, name=name)(y, train)
+                else:
+                    y = BasicBlock(filters=width,
+                                   stride=stride if b == 0 else 1,
+                                   dtype=self.dtype, name=name)(y, train)
+
+        # Global average pool (reference appends nn.AdaptiveAvgPool2d(1)).
+        return jnp.mean(y, axis=(1, 2)).astype(jnp.float32)
+
+
+class FeatureProjector(nn.Module):
+    """Projector for precomputed features: LN(no affine)->Dense->BN->ReLU."""
+
+    n_chan_in: int
+    D: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        """x: (B, n_chan_in) -> (B, D)."""
+        y = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
+                         name="ln")(x)
+        # torch Linear default init (with bias) — see transformer.torch_linear_init
+        from ips_tpu.models.transformer import torch_linear_init
+        y = nn.Dense(self.D, kernel_init=torch_linear_init(self.n_chan_in),
+                     bias_init=torch_linear_init(self.n_chan_in),
+                     dtype=self.dtype, name="fc")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(y)
+        return jax.nn.relu(y).astype(jnp.float32)

@@ -1,0 +1,184 @@
+"""The IPS selection engine: a `lax.scan` with a running top-M buffer.
+
+This is the TPU-native re-design of the reference's Python selection loop
+(reference architecture/ips_net.py:169-262):
+
+  reference (torch)                        here (JAX/XLA)
+  ---------------------------------------  ---------------------------------
+  data-dependent `for i in range(n_iter)`  `lax.scan` over a static chunk count
+  ragged tail chunk (ips_net.py:220-221)   index padding + validity masking
+  `torch.topk` + `gather`                  `lax.top_k` + `take_along_axis`
+  physical shuffle of the patch tensor     index permutation, zero HBM traffic
+  `.eval()` mode flips (ips_net.py:190-193) deterministic closures by construction
+  `@torch.no_grad()`                       runs outside the differentiated fn
+                                           (+ explicit stop_gradient)
+
+Semantics preserved exactly (each is tested):
+  * shortcut when M >= N returns all patches (ips_net.py:184-188)
+  * buffer initialized with the first M (post-shuffle) patches
+    (ips_net.py:203-214)
+  * scoring uses embeddings + positional encoding, but the buffer keeps the
+    *raw* embeddings, and the final output gathers raw *patches* which are
+    re-encoded with gradients later (ips_net.py:142,151-153,243-247)
+  * ties broken by candidate order, randomized by the shuffle
+
+Memory is O(M + I): the scan carry holds (B, M) embeddings and indices; the
+full patch tensor stays in HBM and only I-patch chunks are ever encoded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ips_tpu.ops.shuffle import make_permutation
+
+NEG_INF = -1e9
+
+EncodeFn = Callable[[jax.Array], jax.Array]          # (B, n, ...) -> (B, n, D)
+ScoreFn = Callable[[jax.Array, Optional[jax.Array]], jax.Array]
+#                   (B, L, D), (B, L) mask -> (B, L)
+
+
+@dataclasses.dataclass
+class SelectionResult:
+    mem_patch: jax.Array                 # (B, M, ...) selected raw patches
+    mem_pos: Optional[jax.Array]         # (B, M, D) positional encodings
+    mem_idx: jax.Array                   # (B, M) original patch indices
+    mem_mask: jax.Array                  # (B, M) bool validity
+
+
+def _gather_patches(patches: jax.Array, idx: jax.Array) -> jax.Array:
+    """take_along_axis on axis 1 for arbitrary trailing dims."""
+    expand = idx.reshape(idx.shape + (1,) * (patches.ndim - 2))
+    return jnp.take_along_axis(
+        patches, expand.astype(jnp.int32), axis=1)
+
+
+def select_top_m(emb: jax.Array, emb_to_score: jax.Array, idx: jax.Array,
+                 valid: jax.Array, M: int, score_fn: ScoreFn
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Score L candidates, keep the top M.
+
+    Scoring uses `emb_to_score` (embeddings + pos enc); the buffer keeps the
+    raw `emb` (reference ips_net.py:136-155). Invalid candidates score -inf.
+    """
+    scores = score_fn(emb_to_score, valid)               # (B, L)
+    scores = jnp.where(valid, scores, NEG_INF)
+    _, top_pos = jax.lax.top_k(scores, M)                # (B, M), stable ties
+    top_pos = top_pos.astype(jnp.int32)
+    mem_emb = jnp.take_along_axis(emb, top_pos[..., None], axis=1)
+    mem_idx = jnp.take_along_axis(idx, top_pos, axis=1)
+    mem_valid = jnp.take_along_axis(valid, top_pos, axis=1)
+    return mem_emb, mem_idx, mem_valid
+
+
+def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
+               *, M: int, I: int, pos_table: Optional[jax.Array] = None,
+               mask: Optional[jax.Array] = None,
+               rng: Optional[jax.Array] = None, shuffle: bool = False,
+               shuffle_style: str = "batch") -> SelectionResult:
+    """Iterative Patch Selection over a resident (eager) patch tensor.
+
+    Args:
+      encode_fn: eval-mode encoder closure, (B, n, ...) -> (B, n, D).
+      score_fn: deterministic scorer, ((B, L, D), (B, L) mask) -> (B, L).
+      patches: (B, N, ...) patch tensor in HBM.
+      pos_table: optional (N, D) positional table (indexed by original id).
+      mask: optional (B, N) bool validity for variable-N (bucketed) data.
+      rng, shuffle, shuffle_style: tie-break randomization.
+    """
+    B, N = patches.shape[:2]
+
+    if mask is None:
+        full_mask = jnp.ones((B, N), dtype=bool)
+    else:
+        full_mask = mask
+
+    # Shortcut: no selection needed (reference ips_net.py:184-188).
+    # Note the reference returns *unshuffled* patches here — shuffling
+    # happens after this check — so we do the same.
+    if M >= N:
+        idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+        pos = (jnp.broadcast_to(pos_table[None, :N], (B, N, pos_table.shape[-1]))
+               if pos_table is not None else None)
+        return SelectionResult(patches, pos, idx, full_mask)
+
+    perm = make_permutation(rng, B, N, mask, shuffle, shuffle_style)
+
+    # Pad the *index space* (not the patch tensor) so every chunk has size I.
+    n_iter = -(-(N - M) // I)                       # ceil
+    n_pad = M + n_iter * I - N
+    if n_pad:
+        perm = jnp.concatenate(
+            [perm, jnp.zeros((B, n_pad), jnp.int32)], axis=1)
+    perm_valid = jnp.take_along_axis(full_mask, perm[:, :N], axis=1)
+    if n_pad:
+        perm_valid = jnp.concatenate(
+            [perm_valid, jnp.zeros((B, n_pad), dtype=bool)], axis=1)
+
+    # Init buffer with the first M (post-shuffle) patches
+    # (reference ips_net.py:203-214).
+    init_idx = perm[:, :M]
+    init_valid = perm_valid[:, :M]
+    init_emb = encode_fn(_gather_patches(patches, init_idx))
+
+    def body(carry, start):
+        mem_emb, mem_idx, mem_valid = carry
+        cand_idx = jax.lax.dynamic_slice_in_dim(perm, start, I, axis=1)
+        cand_valid = jax.lax.dynamic_slice_in_dim(perm_valid, start, I, axis=1)
+        cand_emb = encode_fn(_gather_patches(patches, cand_idx))
+
+        all_emb = jnp.concatenate([mem_emb, cand_emb], axis=1)
+        all_idx = jnp.concatenate([mem_idx, cand_idx], axis=1)
+        all_valid = jnp.concatenate([mem_valid, cand_valid], axis=1)
+
+        if pos_table is not None:
+            # Score with positions added; keep raw embeddings in the buffer
+            # (reference ips_net.py:233-241).
+            emb_to_score = all_emb + pos_table[all_idx]
+        else:
+            emb_to_score = all_emb
+
+        new_carry = select_top_m(all_emb, emb_to_score, all_idx, all_valid,
+                                 M, score_fn)
+        return new_carry, None
+
+    starts = M + jnp.arange(n_iter, dtype=jnp.int32) * I
+    (mem_emb, mem_idx, mem_valid), _ = jax.lax.scan(
+        body, (init_emb, init_idx, init_valid), starts)
+    del mem_emb  # selection returns raw patches for re-encoding with grad
+
+    mem_patch = _gather_patches(patches, mem_idx)
+    mem_pos = pos_table[mem_idx] if pos_table is not None else None
+
+    mem_patch = jax.lax.stop_gradient(mem_patch)
+    if mem_pos is not None:
+        mem_pos = jax.lax.stop_gradient(mem_pos)
+    return SelectionResult(mem_patch, mem_pos, mem_idx, mem_valid)
+
+
+def ips_select_streaming_step(encode_fn: EncodeFn, score_fn: ScoreFn,
+                              mem_emb: jax.Array, mem_idx: jax.Array,
+                              mem_valid: jax.Array, chunk: jax.Array,
+                              chunk_idx: jax.Array, chunk_valid: jax.Array,
+                              M: int,
+                              pos_table: Optional[jax.Array] = None):
+    """One selection iteration over a host-streamed chunk (lazy loading).
+
+    Jit this once; a host loop feeds (chunk, chunk_idx) pairs via
+    double-buffered device_put — the TPU-native analog of the reference's
+    per-chunk `.to(device)` lazy path (reference ips_net.py:223).
+    """
+    cand_emb = encode_fn(chunk)
+    all_emb = jnp.concatenate([mem_emb, cand_emb], axis=1)
+    all_idx = jnp.concatenate([mem_idx, chunk_idx], axis=1)
+    all_valid = jnp.concatenate([mem_valid, chunk_valid], axis=1)
+    if pos_table is not None:
+        emb_to_score = all_emb + pos_table[all_idx]
+    else:
+        emb_to_score = all_emb
+    return select_top_m(all_emb, emb_to_score, all_idx, all_valid, M, score_fn)

@@ -1,0 +1,185 @@
+"""Epoch loops: loader-batch IPS -> optimizer-batch assembly -> update.
+
+Mirrors the reference's decoupling of the loader batch ``B_seq`` from the
+optimizer batch ``B`` (reference training/iterative.py:7-63,103-231), with
+two TPU-first changes:
+
+  * the last partial optimizer batch is zero-padded to shape (B, ...) with
+    per-instance weights instead of reshaped (reference ``shrink_batch``,
+    training/iterative.py:52-63) — so each step compiles exactly once;
+  * when ``B_seq == B`` the selection and the update run inside ONE jitted
+    function (``IPSTrainer.fused_step``), eliminating the host round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ips_tpu.config import Config
+from ips_tpu.train.schedule import warmup_cosine_lr
+from ips_tpu.train.steps import IPSTrainer
+from ips_tpu.utils.profiling import EfficiencyTracker
+
+
+def _labels_from_batch(conf: Config, batch: Dict[str, np.ndarray]
+                       ) -> Dict[str, jnp.ndarray]:
+    labels = {}
+    for t in conf.task_list:
+        arr = np.asarray(batch[t.name])
+        if t.metric == "multilabel_accuracy":
+            labels[t.name] = jnp.asarray(arr, jnp.float32)
+        else:
+            labels[t.name] = jnp.asarray(arr, jnp.int32)
+    return labels
+
+
+def _pad_axis0(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+class BatchAssembler:
+    """Accumulates B_seq-sized IPS outputs into a (B, M, ...) train batch.
+
+    Functional analog of init_batch/fill_batch/shrink_batch
+    (reference training/iterative.py:7-63).
+    """
+
+    def __init__(self, conf: Config):
+        self.conf = conf
+        self.reset()
+
+    def reset(self):
+        self._patches, self._pos, self._masks = [], [], []
+        self._labels: Dict[str, list] = {t.name: []
+                                         for t in self.conf.task_list}
+        self.n_prep = 0
+
+    def add(self, mem_patch, mem_pos, mem_mask, labels):
+        self._patches.append(mem_patch)
+        if mem_pos is not None:
+            self._pos.append(mem_pos)
+        self._masks.append(mem_mask)
+        for k, v in labels.items():
+            self._labels[k].append(v)
+        self.n_prep += mem_patch.shape[0]
+
+    @property
+    def full(self) -> bool:
+        return self.n_prep >= self.conf.B
+
+    def take(self):
+        """Concatenate + pad to B; returns (patch, pos, mask, labels, weights)."""
+        B = self.conf.B
+        n = self.n_prep
+        patch = _pad_axis0(jnp.concatenate(self._patches, axis=0), B)
+        pos = (_pad_axis0(jnp.concatenate(self._pos, axis=0), B)
+               if self._pos else None)
+        mask = _pad_axis0(jnp.concatenate(self._masks, axis=0), B)
+        labels = {k: _pad_axis0(jnp.concatenate(v, axis=0), B)
+                  for k, v in self._labels.items()}
+        weights = jnp.asarray(
+            np.concatenate([np.ones(n, np.float32),
+                            np.zeros(B - n, np.float32)]))
+        self.reset()
+        return patch, pos, mask, labels, weights
+
+
+def _to_host(task_losses, preds):
+    tl = {k: float(v) for k, v in task_losses.items()}
+    pr = {k: np.asarray(v) for k, v in preds.items()}
+    return tl, pr
+
+
+def _batch_mask(batch: Dict[str, np.ndarray], B: int, N: int):
+    if "mask" in batch:
+        return jnp.asarray(batch["mask"], bool)
+    return jnp.ones((B, N), dtype=bool)
+
+
+def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Config,
+                    tracker: Optional[EfficiencyTracker] = None):
+    """One training epoch (reference training/iterative.py:103-189)."""
+    steps_per_epoch = len(loader)
+    assembler = BatchAssembler(conf)
+    base_rng = jax.random.PRNGKey(conf.seed * 1_000_003 + epoch)
+    tracker = tracker or EfficiencyTracker(conf)
+    last_lr = 0.0
+
+    for it, batch in enumerate(loader):
+        data_it = epoch * steps_per_epoch + it
+        is_last = it == steps_per_epoch - 1
+        rng = jax.random.fold_in(base_rng, it)
+
+        patches = jnp.asarray(batch["input"])
+        B_seq, N = patches.shape[:2]
+        mask = _batch_mask(batch, B_seq, N)
+        labels = _labels_from_batch(conf, batch)
+
+        if assembler.n_prep == 0:
+            tracker.start()
+
+        # Fast path: loader batch == optimizer batch, fused select+train.
+        if conf.B_seq == conf.B and B_seq == conf.B:
+            last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
+                                       conf.n_epoch, conf.n_epoch_warmup,
+                                       conf.lr)
+            weights = jnp.ones((conf.B,), jnp.float32)
+            loss, task_losses, preds = trainer.fused_step(
+                patches, mask, labels, weights, rng, last_lr)
+            tracker.stop((loss, preds), epoch, data_it, is_last)
+            tl, pr = _to_host(task_losses, preds)
+            logger.update(tl, pr, {k: np.asarray(v)
+                                   for k, v in labels.items()})
+            continue
+
+        mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask, rng)
+        assembler.add(mem_patch, mem_pos, mem_mask, labels)
+
+        if assembler.full or is_last:
+            patch, pos, mmask, lab, weights = assembler.take()
+            last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
+                                       conf.n_epoch, conf.n_epoch_warmup,
+                                       conf.lr)
+            loss, task_losses, preds = trainer.train_step(
+                patch, pos, mmask, lab, weights,
+                jax.random.fold_in(rng, 1), last_lr)
+            tracker.stop((loss, preds), epoch, data_it, is_last)
+            tl, pr = _to_host(task_losses, preds)
+            logger.update(tl, pr, {k: np.asarray(v) for k, v in lab.items()},
+                          weights=np.asarray(weights))
+
+    tracker.finish_epoch(epoch)
+    return last_lr
+
+
+def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
+    """Evaluation epoch (reference training/iterative.py:194-231)."""
+    steps_per_epoch = len(loader)
+    assembler = BatchAssembler(conf)
+    base_rng = jax.random.PRNGKey(conf.seed * 7_000_003 + 1)
+
+    for it, batch in enumerate(loader):
+        is_last = it == steps_per_epoch - 1
+        rng = jax.random.fold_in(base_rng, it)
+        patches = jnp.asarray(batch["input"])
+        B_seq, N = patches.shape[:2]
+        mask = _batch_mask(batch, B_seq, N)
+        labels = _labels_from_batch(conf, batch)
+
+        mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask, rng)
+        assembler.add(mem_patch, mem_pos, mem_mask, labels)
+
+        if assembler.full or is_last:
+            patch, pos, mmask, lab, weights = assembler.take()
+            loss, task_losses, preds = trainer.eval_step(
+                patch, pos, mmask, lab, weights)
+            tl, pr = _to_host(task_losses, preds)
+            logger.update(tl, pr, {k: np.asarray(v) for k, v in lab.items()},
+                          weights=np.asarray(weights))

@@ -1,0 +1,202 @@
+"""Jitted training/eval/selection steps.
+
+The reference interleaves selection (no-grad, eval-mode) and training
+(grad, train-mode) through in-place module mode flips
+(reference architecture/ips_net.py:190-193,254-259 and
+training/iterative.py:103-189). Here each phase is a separate pure, jitted
+function over one set of parameters:
+
+  * ``select``      — IPS over a loader batch (B_seq); always deterministic,
+                      never differentiated.
+  * ``train_step``  — gradient forward over the assembled (B, M) memory
+                      batch: dropout on, BatchNorm batch-stats updated,
+                      AdamW(wd over all params, torch semantics) update with
+                      an explicitly injected per-step learning rate
+                      (reference main.py:57, utils/utils.py:14-31).
+  * ``eval_step``   — same forward, eval mode, no grad
+                      (reference training/iterative.py:193-231).
+  * ``fused_step``  — selection + train in ONE jit for the B_seq == B fast
+                      path: no host round-trip between IPS and the update,
+                      XLA overlaps both phases.
+
+Partial final batches are handled with per-instance weights instead of the
+reference's shape-changing ``shrink_batch`` (training/iterative.py:52-63),
+so every step compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ips_tpu.config import Config
+from ips_tpu.models.ips_net import IPSModel, init_ips_model
+from ips_tpu.models.transformer import pos_enc_1d
+from ips_tpu.ops.selection import ips_select
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def compute_task_losses(conf: Config, preds: Dict[str, jax.Array],
+                        labels: Dict[str, jax.Array],
+                        weights: jax.Array) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Per-task losses averaged into one scalar.
+
+    softmax tasks: NLL of log(pred + eps) — reference training/iterative.py:84
+    sigmoid tasks: BCE over flattened outputs — reference training/iterative.py:87-88
+    Mean over tasks — reference training/iterative.py:96-98.
+    `weights` (B,) in {0,1} masks padded instances of a partial batch.
+    """
+    w_sum = jnp.maximum(weights.sum(), 1.0)
+    task_losses = {}
+    total = 0.0
+    for task in conf.task_list:
+        pred = preds[task.name]
+        label = labels[task.name]
+        if task.act_fn == "softmax":
+            logp = jnp.log(pred + conf.eps)                       # (B, C)
+            nll = -jnp.take_along_axis(
+                logp, label.astype(jnp.int32)[:, None], axis=1)[:, 0]
+            tl = (nll * weights).sum() / w_sum
+        else:
+            p = pred.reshape(pred.shape[0], -1)
+            y = label.reshape(label.shape[0], -1).astype(jnp.float32)
+            p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
+            bce = -(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p))   # (B, k)
+            tl = (bce.mean(axis=-1) * weights).sum() / w_sum
+        task_losses[task.name] = tl
+        total = total + tl
+    return total / len(conf.task_list), task_losses
+
+
+class IPSTrainer:
+    """Owns model/optimizer and the compiled step functions."""
+
+    def __init__(self, conf: Config, rng: Optional[jax.Array] = None):
+        self.conf = conf
+        rng = rng if rng is not None else jax.random.PRNGKey(conf.seed)
+        self.model, params, batch_stats = init_ips_model(conf, rng)
+        # AdamW with torch parity: betas (0.9, 0.999), eps 1e-8, weight decay
+        # applied to every parameter (reference main.py:57).
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=conf.wd)
+        self.state = TrainState(
+            params=params, batch_stats=batch_stats,
+            opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32))
+        self.pos_table = (pos_enc_1d(conf.D, conf.N)
+                          if conf.use_pos and conf.N > 0 else None)
+
+        self._select = jax.jit(self._select_impl)
+        donate = (0,) if conf.donate_buffers else ()
+        self._train = jax.jit(self._train_impl, donate_argnums=donate)
+        self._eval = jax.jit(self._eval_impl)
+        self._fused = jax.jit(self._fused_impl, donate_argnums=donate)
+
+    # -- closures over apply ------------------------------------------------
+    def _enc_score_fns(self, params, batch_stats):
+        variables = {"params": params, "batch_stats": batch_stats}
+        model = self.model
+
+        def encode(x):
+            return model.apply(variables, x, train=False,
+                               method=IPSModel.encode)
+
+        def score(emb, mask):
+            return model.apply(variables, emb, mask, method=IPSModel.scores)
+
+        return encode, score
+
+    # -- selection ----------------------------------------------------------
+    def _select_impl(self, params, batch_stats, patches, mask, rng):
+        conf = self.conf
+        encode, score = self._enc_score_fns(params, batch_stats)
+        res = ips_select(
+            encode, score, patches, M=conf.M, I=conf.I,
+            pos_table=self.pos_table, mask=mask, rng=rng,
+            shuffle=conf.shuffle, shuffle_style=conf.shuffle_style)
+        return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask
+
+    def select(self, patches, mask=None, rng=None):
+        """Run IPS for one loader batch. patches: (B_seq, N, ...)."""
+        B, N = patches.shape[:2]
+        if mask is None:
+            mask = jnp.ones((B, N), dtype=bool)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._select(self.state.params, self.state.batch_stats,
+                            patches, mask, rng)
+
+    # -- gradient step ------------------------------------------------------
+    def _loss_and_aux(self, params, batch_stats, mem_patch, mem_pos, mem_mask,
+                      labels, weights, dropout_rng):
+        conf = self.conf
+        attn_mask = mem_mask if conf.mask_padding else None
+        preds, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mem_patch, mem_pos, attn_mask, train=True,
+            rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+        loss, task_losses = compute_task_losses(conf, preds, labels, weights)
+        return loss, (task_losses, preds, mutated["batch_stats"])
+
+    def _train_impl(self, state: TrainState, mem_patch, mem_pos, mem_mask,
+                    labels, weights, rng, lr):
+        grad_fn = jax.value_and_grad(self._loss_and_aux, has_aux=True)
+        (loss, (task_losses, preds, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, mem_patch, mem_pos, mem_mask,
+            labels, weights, rng)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = self.tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, loss, task_losses, preds
+
+    def train_step(self, mem_patch, mem_pos, mem_mask, labels, weights, rng,
+                   lr: float):
+        self.state, loss, task_losses, preds = self._train(
+            self.state, mem_patch, mem_pos, mem_mask, labels, weights, rng,
+            jnp.asarray(lr, jnp.float32))
+        return loss, task_losses, preds
+
+    # -- eval ---------------------------------------------------------------
+    def _eval_impl(self, params, batch_stats, mem_patch, mem_pos, mem_mask,
+                   labels, weights):
+        conf = self.conf
+        attn_mask = mem_mask if conf.mask_padding else None
+        preds = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mem_patch, mem_pos, attn_mask, train=False)
+        loss, task_losses = compute_task_losses(conf, preds, labels, weights)
+        return loss, task_losses, preds
+
+    def eval_step(self, mem_patch, mem_pos, mem_mask, labels, weights):
+        return self._eval(self.state.params, self.state.batch_stats,
+                          mem_patch, mem_pos, mem_mask, labels, weights)
+
+    # -- fused select+train (B_seq == B fast path) --------------------------
+    def _fused_impl(self, state: TrainState, patches, mask, labels, weights,
+                    rng, lr):
+        sel_rng, dropout_rng = jax.random.split(rng)
+        mem_patch, mem_pos, _, mem_mask = self._select_impl(
+            state.params, state.batch_stats, patches, mask, sel_rng)
+        return self._train_impl(state, mem_patch, mem_pos, mem_mask, labels,
+                                weights, dropout_rng, lr)
+
+    def fused_step(self, patches, mask, labels, weights, rng, lr: float):
+        self.state, loss, task_losses, preds = self._fused(
+            self.state, patches, mask, labels, weights, rng,
+            jnp.asarray(lr, jnp.float32))
+        return loss, task_losses, preds

@@ -1,0 +1,1 @@
+from ips_tpu.utils.profiling import EfficiencyTracker, device_peak_bytes  # noqa: F401

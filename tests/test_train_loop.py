@@ -1,0 +1,136 @@
+"""End-to-end training: overfit a tiny synthetic patch dataset.
+
+Mirrors the reference's implicit QA (metric-based validation, SURVEY.md §4)
+as an explicit integration test: the full Dataset -> DataLoader -> IPS ->
+assembly -> AdamW pipeline must fit a learnable toy problem.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ips_tpu.data.loader import DataLoader, Dataset
+from ips_tpu.train.loop import BatchAssembler, evaluate, train_one_epoch
+from ips_tpu.train.metrics import MetricsLogger
+from ips_tpu.train.steps import IPSTrainer
+
+
+class SignalPatches(Dataset):
+    """Each sample: N noise patches, one carries a class-dependent pattern."""
+
+    def __init__(self, conf, n_samples=16, seed=0):
+        self.conf = conf
+        rng = np.random.default_rng(seed)
+        ph, pw = conf.patch_size
+        self.samples = []
+        for i in range(n_samples):
+            cls = i % conf.n_class if conf.n_class > 1 else i % 2
+            patches = rng.normal(0, 0.1,
+                                 (conf.N, ph, pw, conf.n_chan_in)
+                                 ).astype(np.float32)
+            slot = rng.integers(0, conf.N)
+            # class-dependent deterministic pattern, high amplitude
+            patt = np.zeros((ph, pw, conf.n_chan_in), np.float32)
+            patt[cls::4, :, :] = 2.0
+            patches[slot] = patt
+            self.samples.append({
+                "input": patches,
+                "majority": np.int64(cls),
+                "multi": np.eye(conf.n_class, dtype=np.float32)[cls]})
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+@pytest.fixture(scope="module")
+def overfit_conf(tmp_path_factory):
+    from ips_tpu.config import config_from_dict
+    return config_from_dict(dict(
+        n_epoch=8, B=4, B_seq=4, n_epoch_warmup=1, lr=3e-4, wd=0.01,
+        n_class=4, is_image=True, enc_type="resnet18", n_chan_in=1,
+        n_res_blocks=2, shuffle=True, shuffle_style="batch", n_token=2,
+        N=12, M=4, I=4, patch_size=[16, 16], patch_stride=[16, 16],
+        use_pos=False, H=4, D=128, D_k=16, D_v=16, D_inner=256,
+        compute_dtype="float32", donate_buffers=False, seed=0,
+        tasks={
+            "task0": {"id": 0, "name": "majority", "act_fn": "softmax",
+                      "metric": "accuracy"},
+            "task1": {"id": 1, "name": "multi", "act_fn": "sigmoid",
+                      "metric": "multilabel_accuracy"},
+        }))
+
+
+def _run_epochs(conf, n_epoch):
+    data = SignalPatches(conf, n_samples=16)
+    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=True,
+                        seed=conf.seed)
+    trainer = IPSTrainer(conf)
+    log = MetricsLogger(conf.task_list)
+    for epoch in range(n_epoch):
+        train_one_epoch(trainer, loader, epoch, log, conf)
+        log.compute_metric()
+    return trainer, log, loader
+
+
+def test_overfit_fused_path(overfit_conf):
+    """B_seq == B exercises the fused select+train jit."""
+    trainer, log, loader = _run_epochs(overfit_conf, overfit_conf.n_epoch)
+    losses = log.losses_epoch["majority"]
+    assert losses[-1] < losses[0] * 0.7, losses
+    # evaluation pipeline end-to-end
+    elog = MetricsLogger(overfit_conf.task_list)
+    evaluate(trainer, loader, elog, overfit_conf)
+    elog.compute_metric()
+    assert elog.metrics["majority"][0] >= 0.5   # chance is 0.25
+
+
+def test_assembly_path_partial_batch(overfit_conf):
+    """B_seq < B exercises assembly + zero-padded final partial batch."""
+    conf = overfit_conf.replace(B_seq=2, n_epoch=2)
+    # 14 samples -> 7 loader batches of 2 -> 3 full optimizer batches of 4
+    # plus a final partial batch of 2 that must be padded+masked.
+    data = SignalPatches(conf, n_samples=14)
+    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=False)
+    trainer = IPSTrainer(conf)
+    log = MetricsLogger(conf.task_list)
+    train_one_epoch(trainer, loader, 0, log, conf)
+    # all 14 instances logged exactly once — padded rows must NOT leak in
+    assert len(log.y_trues["majority"]) == 14
+    assert len(log.losses_it["majority"]) == 4  # 3 full + 1 partial step
+    log.compute_metric()
+    assert np.isfinite(log.losses_epoch["majority"][0])
+
+
+class TestBatchAssembler:
+    def test_pad_and_weights(self, overfit_conf):
+        conf = overfit_conf.replace(B=4)
+        a = BatchAssembler(conf)
+        mem = jnp.ones((3, conf.M, 16, 16, 1))
+        mask = jnp.ones((3, conf.M), bool)
+        labels = {"majority": jnp.array([1, 2, 3], jnp.int32),
+                  "multi": jnp.ones((3, 4), jnp.float32)}
+        a.add(mem, None, mask, labels)
+        assert not a.full
+        patch, pos, mmask, lab, w = a.take()
+        assert patch.shape == (4, conf.M, 16, 16, 1)
+        assert pos is None
+        np.testing.assert_array_equal(np.asarray(w), [1, 1, 1, 0])
+        np.testing.assert_array_equal(np.asarray(lab["majority"]),
+                                      [1, 2, 3, 0])
+        assert a.n_prep == 0  # reset after take
+
+    def test_accumulates_to_full(self, overfit_conf):
+        conf = overfit_conf.replace(B=4)
+        a = BatchAssembler(conf)
+        for _ in range(2):
+            a.add(jnp.ones((2, conf.M, 16, 16, 1)), None,
+                  jnp.ones((2, conf.M), bool),
+                  {"majority": jnp.zeros(2, jnp.int32),
+                   "multi": jnp.zeros((2, 4), jnp.float32)})
+        assert a.full
+        patch, _, _, _, w = a.take()
+        assert patch.shape[0] == 4 and np.asarray(w).sum() == 4
