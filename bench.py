@@ -1,0 +1,154 @@
+"""Benchmark: megapixel-MNIST flagship throughput on one chip.
+
+Measures end-to-end training throughput (IPS selection over all N patches
++ gradient step) in patches/sec on the reference's headline configuration
+(reference config/mnist_config.yml: B=16, N=900, M=I=100, 50x50 patches,
+ResNet-18/2-block encoder, D=128, 4 tasks).
+
+Two builds are timed:
+  * baseline — a direct translation: fp32 compute, separate selection and
+    train jits with a host round-trip between them (the structure of the
+    reference training loop, training/iterative.py:103-189).
+  * optimized — the TPU-native fast path: bf16 compute, fused
+    selection+train in one jit.
+
+Prints ONE JSON line; extra detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ips_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def _conf(compute_dtype: str, B: int):
+    from ips_tpu.config import config_from_dict
+    return config_from_dict(dict(
+        n_epoch=1, B=B, B_seq=B, n_epoch_warmup=1, lr=1e-3, wd=0.1,
+        n_class=10, is_image=True, enc_type="resnet18", n_chan_in=1,
+        n_res_blocks=2, shuffle=True, shuffle_style="batch", n_token=4,
+        N=900, M=100, I=100, patch_size=[50, 50], patch_stride=[50, 50],
+        use_pos=True, H=8, D=128, D_k=16, D_v=16, D_inner=512,
+        compute_dtype=compute_dtype, donate_buffers=True,
+        tasks={
+            "task0": {"id": 0, "name": "majority", "act_fn": "softmax",
+                      "metric": "accuracy"},
+            "task1": {"id": 1, "name": "max", "act_fn": "softmax",
+                      "metric": "accuracy"},
+            "task2": {"id": 2, "name": "top", "act_fn": "softmax",
+                      "metric": "accuracy"},
+            "task3": {"id": 3, "name": "multi", "act_fn": "sigmoid",
+                      "metric": "multilabel_accuracy"},
+        }))
+
+
+def _batch(conf, rng):
+    B, N = conf.B, conf.N
+    patches = jax.random.uniform(rng, (B, N, *conf.patch_size,
+                                       conf.n_chan_in), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    labels = {
+        "majority": jnp.arange(B, dtype=jnp.int32) % conf.n_class,
+        "max": jnp.arange(B, dtype=jnp.int32) % conf.n_class,
+        "top": jnp.arange(B, dtype=jnp.int32) % conf.n_class,
+        "multi": jnp.zeros((B, conf.n_class), jnp.float32),
+    }
+    weights = jnp.ones((B,), jnp.float32)
+    return patches, mask, labels, weights
+
+
+def _time_steps(fn, n_warmup: int, n_iter: int) -> float:
+    """Mean seconds per call after warmup."""
+    for _ in range(n_warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def bench_fused(conf, n_warmup=2, n_iter=8) -> float:
+    from ips_tpu.train.steps import IPSTrainer
+    trainer = IPSTrainer(conf)
+    rng = jax.random.PRNGKey(0)
+    patches, mask, labels, weights = _batch(conf, rng)
+
+    def step():
+        return trainer.fused_step(patches, mask, labels, weights, rng, 1e-3)
+    return _time_steps(step, n_warmup, n_iter)
+
+
+def bench_split(conf, n_warmup=2, n_iter=4) -> float:
+    from ips_tpu.train.steps import IPSTrainer
+    trainer = IPSTrainer(conf)
+    rng = jax.random.PRNGKey(0)
+    patches, mask, labels, weights = _batch(conf, rng)
+
+    def step():
+        mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask, rng)
+        # host round-trip between phases, as in the reference loop
+        jax.block_until_ready(mem_patch)
+        return trainer.train_step(mem_patch, mem_pos, mem_mask, labels,
+                                  weights, rng, 1e-3)
+    return _time_steps(step, n_warmup, n_iter)
+
+
+BASELINE_FILE = "bench_baseline.json"
+
+
+def main():
+    B = 16
+    print(f"benchmarking on {jax.devices()[0]}", file=sys.stderr, flush=True)
+
+    # Optimized path first, so the headline number lands even if a
+    # compile-heavy baseline measurement gets cut short.
+    t_opt = bench_fused(_conf("bfloat16", B))
+    print(f"optimized (bf16, fused): {t_opt * 1e3:.1f} ms/step",
+          file=sys.stderr, flush=True)
+
+    # Baseline: measured fp32 split-path; falls back to the recorded
+    # measurement if the flag/file says to skip the extra compiles.
+    t_base = None
+    if "--skip-baseline" not in sys.argv:
+        try:
+            t_base = bench_split(_conf("float32", B))
+            print(f"baseline (fp32, split): {t_base * 1e3:.1f} ms/step",
+                  file=sys.stderr, flush=True)
+            with open(BASELINE_FILE, "w") as f:
+                json.dump({"baseline_sec_per_step": t_base, "B": B,
+                           "N": 900}, f)
+        except Exception as e:  # noqa: BLE001 - keep the headline JSON alive
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+    if t_base is None:
+        try:
+            with open(BASELINE_FILE) as f:
+                t_base = json.load(f)["baseline_sec_per_step"]
+        except OSError:
+            t_base = t_opt  # no baseline available -> ratio 1.0
+
+    patches_per_sec = B * 900 / t_opt
+    from ips_tpu.utils.profiling import device_peak_bytes
+    peak = device_peak_bytes()
+    if peak is not None:
+        print(f"peak HBM: {peak / 1024**3:.2f} GiB", file=sys.stderr,
+              flush=True)
+
+    print(json.dumps({
+        "metric": "mnist_train_patches_per_sec",
+        "value": round(patches_per_sec, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(t_base / t_opt, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,9 @@ class SelectionResult:
     mem_pos: Optional[jax.Array]         # (B, M, D) positional encodings
     mem_idx: jax.Array                   # (B, M) original patch indices
     mem_mask: jax.Array                  # (B, M) bool validity
+    mem_emb: Optional[jax.Array] = None  # (B, M, D) raw embeddings
+                                         # (kept only when return_emb=True,
+                                         #  used by the context-parallel merge)
 
 
 def _gather_patches(patches: jax.Array, idx: jax.Array) -> jax.Array:
@@ -80,7 +83,8 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
                *, M: int, I: int, pos_table: Optional[jax.Array] = None,
                mask: Optional[jax.Array] = None,
                rng: Optional[jax.Array] = None, shuffle: bool = False,
-               shuffle_style: str = "batch") -> SelectionResult:
+               shuffle_style: str = "batch",
+               return_emb: bool = False) -> SelectionResult:
     """Iterative Patch Selection over a resident (eager) patch tensor.
 
     Args:
@@ -105,7 +109,8 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
         idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
         pos = (jnp.broadcast_to(pos_table[None, :N], (B, N, pos_table.shape[-1]))
                if pos_table is not None else None)
-        return SelectionResult(patches, pos, idx, full_mask)
+        emb = encode_fn(patches) if return_emb else None
+        return SelectionResult(patches, pos, idx, full_mask, emb)
 
     perm = make_permutation(rng, B, N, mask, shuffle, shuffle_style)
 
@@ -150,7 +155,6 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
     starts = M + jnp.arange(n_iter, dtype=jnp.int32) * I
     (mem_emb, mem_idx, mem_valid), _ = jax.lax.scan(
         body, (init_emb, init_idx, init_valid), starts)
-    del mem_emb  # selection returns raw patches for re-encoding with grad
 
     mem_patch = _gather_patches(patches, mem_idx)
     mem_pos = pos_table[mem_idx] if pos_table is not None else None
@@ -158,7 +162,8 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
     mem_patch = jax.lax.stop_gradient(mem_patch)
     if mem_pos is not None:
         mem_pos = jax.lax.stop_gradient(mem_pos)
-    return SelectionResult(mem_patch, mem_pos, mem_idx, mem_valid)
+    return SelectionResult(mem_patch, mem_pos, mem_idx, mem_valid,
+                           mem_emb if return_emb else None)
 
 
 def ips_select_streaming_step(encode_fn: EncodeFn, score_fn: ScoreFn,

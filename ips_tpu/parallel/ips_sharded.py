@@ -1,0 +1,140 @@
+"""Sharded IPS: data parallelism + context parallelism over the patch axis.
+
+Both are NEW capabilities over the single-GPU reference (SURVEY.md §2.3).
+
+Data parallelism: the trainer's jitted steps are compiled with
+`NamedSharding` constraints — the global batch is sharded over the `data`
+mesh axis, parameters/optimizer state are replicated, and XLA inserts the
+gradient psums over ICI.
+
+Context parallelism (``ips_select_cp``): the N-patch axis is split into
+``n_shards`` contiguous slices; each slice runs the standard streaming
+top-M selection *locally* (zero cross-device traffic during the scan —
+the expensive part, since it encodes every patch), then the n_shards x M
+local survivors are merged with ONE global rescoring + top-M. Embeddings
+travel (M x D floats per shard), never raw patches.
+
+Note: IPS scoring is softmax-normalized over each candidate set, so
+greedy streaming selection is itself order-dependent — the reference's
+single stream and this sharded variant are both heuristics of the same
+family, and they agree exactly whenever scores are set-independent
+(verified in tests/test_parallel.py). The merge step rescoring the union
+keeps the final M faithful to the full candidate pool.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ips_tpu.config import Config
+from ips_tpu.ops.selection import (SelectionResult, _gather_patches,
+                                   ips_select, select_top_m)
+from ips_tpu.parallel.mesh import DATA_AXIS, PATCH_AXIS, make_mesh
+from ips_tpu.train.steps import IPSTrainer
+
+
+def ips_select_cp(encode_fn, score_fn, patches, *, M: int, I: int,
+                  n_shards: int, pos_table=None, mask=None, rng=None,
+                  shuffle: bool = False, shuffle_style: str = "batch"
+                  ) -> SelectionResult:
+    """Context-parallel IPS: per-shard local top-M, then one global merge.
+
+    patches: (B, N, ...) with N divisible by n_shards. Under a mesh, shard
+    the N axis over `patch`; the vmapped local scans then run one shard
+    per device group with no communication until the merge.
+    """
+    B, N = patches.shape[:2]
+    if N % n_shards:
+        raise ValueError(f"N={N} not divisible by n_shards={n_shards}")
+    n_local = N // n_shards
+    if M >= n_local:
+        raise ValueError(
+            f"context parallelism needs M < N/n_shards (M={M}, "
+            f"N/n_shards={n_local}); reduce n_shards or use single-shard "
+            "selection")
+
+    shard_shape = (B, n_shards, n_local) + patches.shape[2:]
+    patches_s = patches.reshape(shard_shape)
+    mask_s = (mask.reshape(B, n_shards, n_local)
+              if mask is not None
+              else jnp.ones((B, n_shards, n_local), bool))
+    pos_s = (pos_table.reshape(n_shards, n_local, pos_table.shape[-1])
+             if pos_table is not None else None)
+    rngs = (jax.random.split(rng, n_shards) if rng is not None
+            else jnp.zeros((n_shards, 2), jnp.uint32))
+
+    def local(p, m, pos, key):
+        res = ips_select(encode_fn, score_fn, p, M=M, I=I, pos_table=pos,
+                         mask=m, rng=key if shuffle else None,
+                         shuffle=shuffle, shuffle_style=shuffle_style,
+                         return_emb=True)
+        return res.mem_emb, res.mem_idx, res.mem_mask
+
+    local_emb, local_idx, local_valid = jax.vmap(
+        local, in_axes=(1, 1, 0 if pos_s is not None else None, 0),
+        out_axes=1)(patches_s, mask_s, pos_s, rngs)
+    # local_*: (B, n_shards, M, ...); convert shard-local to global indices.
+    offsets = (jnp.arange(n_shards, dtype=jnp.int32) * n_local)[None, :, None]
+    g_idx = (local_idx + offsets).reshape(B, n_shards * M)
+    g_emb = local_emb.reshape(B, n_shards * M, -1)
+    g_valid = local_valid.reshape(B, n_shards * M)
+
+    # Global merge: one rescoring over the union of survivors.
+    emb_to_score = g_emb + pos_table[g_idx] if pos_table is not None else g_emb
+    _, mem_idx, mem_valid = select_top_m(g_emb, emb_to_score, g_idx, g_valid,
+                                         M, score_fn)
+
+    mem_patch = jax.lax.stop_gradient(_gather_patches(patches, mem_idx))
+    mem_pos = (jax.lax.stop_gradient(pos_table[mem_idx])
+               if pos_table is not None else None)
+    return SelectionResult(mem_patch, mem_pos, mem_idx, mem_valid)
+
+
+class ShardedIPSTrainer(IPSTrainer):
+    """IPSTrainer compiled against a (data, patch) device mesh."""
+
+    def __init__(self, conf: Config, mesh=None,
+                 rng: Optional[jax.Array] = None):
+        self.mesh = mesh if mesh is not None else make_mesh(
+            conf.mesh_data, conf.mesh_patch)
+        self.n_cp = self.mesh.shape[PATCH_AXIS]
+        super().__init__(conf, rng)
+
+        rep = NamedSharding(self.mesh, P())
+        dat = NamedSharding(self.mesh, P(DATA_AXIS))
+        datp = NamedSharding(self.mesh, P(DATA_AXIS, PATCH_AXIS))
+
+        # Replicate model/optimizer state across the mesh.
+        self.state = jax.device_put(self.state, rep)
+        if self.pos_table is not None:
+            self.pos_table = jax.device_put(self.pos_table, rep)
+
+        donate = (0,) if conf.donate_buffers else ()
+        self._select = jax.jit(
+            self._select_impl,
+            in_shardings=(rep, rep, datp, datp, rep))
+        self._train = jax.jit(
+            self._train_impl, donate_argnums=donate,
+            in_shardings=(rep, dat, dat, dat, dat, dat, rep, rep))
+        self._eval = jax.jit(
+            self._eval_impl,
+            in_shardings=(rep, rep, dat, dat, dat, dat, dat))
+        self._fused = jax.jit(
+            self._fused_impl, donate_argnums=donate,
+            in_shardings=(rep, datp, datp, dat, dat, rep, rep))
+
+    def _select_impl(self, params, batch_stats, patches, mask, rng):
+        conf = self.conf
+        if self.n_cp <= 1:
+            return super()._select_impl(params, batch_stats, patches, mask,
+                                        rng)
+        encode, score = self._enc_score_fns(params, batch_stats)
+        res = ips_select_cp(
+            encode, score, patches, M=conf.M, I=conf.I, n_shards=self.n_cp,
+            pos_table=self.pos_table, mask=mask, rng=rng,
+            shuffle=conf.shuffle, shuffle_style=conf.shuffle_style)
+        return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask

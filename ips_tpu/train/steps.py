@@ -87,6 +87,15 @@ class IPSTrainer:
         self.conf = conf
         rng = rng if rng is not None else jax.random.PRNGKey(conf.seed)
         self.model, params, batch_stats = init_ips_model(conf, rng)
+        if conf.is_image and conf.pretrained and conf.pretrained_path:
+            # ImageNet-style initialization (reference ips_net.py:20-27)
+            # from a locally converted checkpoint (no network egress here).
+            from ips_tpu.models.pretrained import load_encoder_npz
+            merged = load_encoder_npz(
+                conf.pretrained_path,
+                {"params": params, "batch_stats": batch_stats},
+                prefix="encoder/", on_mismatch="skip")
+            params, batch_stats = merged["params"], merged["batch_stats"]
         # AdamW with torch parity: betas (0.9, 0.999), eps 1e-8, weight decay
         # applied to every parameter (reference main.py:57).
         self.tx = optax.inject_hyperparams(optax.adamw)(

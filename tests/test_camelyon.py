@@ -1,0 +1,238 @@
+"""CAMELYON16 subsystem: WSI methods, offline CLIs, feature dataset."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from ips_tpu.data.camelyon.dataset import (CamelyonFeatures, default_buckets,
+                                           make_synth_features,
+                                           pad_to_bucket)
+from ips_tpu.data.camelyon.methods import (create_otsu_mask_by_threshold,
+                                           create_tumor_mask,
+                                           get_otsu_threshold, otsu_by_hist,
+                                           remove_alpha_channel, rgb2gray,
+                                           split_slide)
+from ips_tpu.data.camelyon.slide import (Annotation, ArraySlide, Slide,
+                                         SlideManager,
+                                         parse_asap_annotations)
+
+
+def _tissue_image(H=600, W=400, seed=0):
+    """White background with a dark 'tissue' blob (HE-ish purple)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((H, W, 3), 245, np.uint8)
+    y0, y1 = H // 6, 2 * H // 3
+    x0, x1 = W // 8, 3 * W // 4
+    img[y0:y1, x0:x1] = rng.integers(
+        120, 200, (y1 - y0, x1 - x0, 3), dtype=np.int64).astype(np.uint8)
+    img[y0:y1, x0:x1, 1] //= 2      # low green => HE-gray lights up
+    return img
+
+
+class TestMethods:
+    def test_rgb2gray_he(self):
+        # pure formula check: r + b - (r+g+b)/1.5, clipped
+        rgb = np.array([[[30, 60, 90]]], np.float64)
+        expect = 30 + 90 - (30 + 60 + 90) / 1.5
+        assert rgb2gray(rgb)[0, 0] == pytest.approx(expect)
+        assert rgb2gray(np.full((1, 1, 3), 255.0))[0, 0] <= 255
+
+    def test_remove_alpha(self):
+        rgba = np.zeros((4, 4, 4), np.uint8)
+        assert remove_alpha_channel(rgba).shape == (4, 4, 3)
+        rgb = np.zeros((4, 4, 3), np.uint8)
+        assert remove_alpha_channel(rgb) is rgb
+
+    def test_otsu_by_hist_bimodal(self):
+        # two clear modes at 10 and 200 -> threshold between them
+        values = np.array([10.0, 11.0, 200.0, 201.0])
+        hist = np.array([500, 500, 500, 500])
+        t = otsu_by_hist(hist, values)
+        assert 11.0 <= t < 200.0
+
+    def test_chunked_otsu_on_slide(self):
+        slide = ArraySlide(_tissue_image())
+        t = get_otsu_threshold(slide, level=0, step_size=128)
+        gray = rgb2gray(_tissue_image().astype(np.float64))
+        # threshold separates tissue (high HE-gray) from background (low)
+        assert gray[200, 100] > t >= gray[10, 10]
+
+    def test_otsu_mask_components(self):
+        img = np.zeros((20, 20))
+        img[2:6, 2:6] = 100          # strong component
+        img[12:16, 12:16] = 30       # weak-only component (> 0.25*t only)
+        mask = create_otsu_mask_by_threshold(img, 50.0)
+        assert mask[3, 3] == 1
+        assert mask[13, 13] == 0     # dropped: no strong pixel
+
+    def test_tumor_mask_polygon(self):
+        slide = Slide("s", "unused")
+        slide._reader = ArraySlide(_tissue_image())
+        slide.annotation_filename = "x"  # mark annotated
+        slide._annotations = [Annotation("a", "t", "g", "c",
+                                         [(50, 100), (250, 100), (250, 300),
+                                          (50, 300)])]
+        mask = create_tumor_mask(slide, 0)
+        assert mask[200, 150] == 1 and mask[50, 50] == 0
+        # bounded section
+        sec = create_tumor_mask(slide, 0, ((50, 100), (100, 100)))
+        assert sec[10, 10] == 1
+
+    def test_split_slide_yields_tissue_tiles(self):
+        slide = Slide("s", "unused")
+        slide._reader = ArraySlide(_tissue_image())
+        slide._annotations = []
+        t = get_otsu_threshold(slide, step_size=200)
+        tiles = list(split_slide(slide, 0, t, 0.05, 100, 0))
+        assert len(tiles) >= 1
+        for tile, ((x, y), (w0, h0)) in tiles:
+            assert tile.shape == (100, 100, 3)
+            assert w0 == h0 == 100
+        # all-background slide yields nothing
+        bg = Slide("b", "unused")
+        bg._reader = ArraySlide(np.full((300, 300, 3), 245, np.uint8))
+        bg._annotations = []
+        assert list(split_slide(bg, 0, t, 0.05, 100, 0)) == []
+
+    def test_split_slide_validation(self):
+        slide = Slide("s", "unused")
+        slide._reader = ArraySlide(_tissue_image())
+        with pytest.raises(ValueError):
+            list(split_slide(slide, 0, 10.0, 0.01, 64, 64))
+        with pytest.raises(ValueError):
+            list(split_slide(slide, 0, -1.0, 0.01, 64, 0))
+
+
+ASAP_XML = """<?xml version="1.0"?>
+<ASAP_Annotations>
+  <Annotations>
+    <Annotation Name="_0" Type="Polygon" PartOfGroup="Tumor" Color="#F4FA58">
+      <Coordinates>
+        <Coordinate Order="0" X="100.5" Y="200.5"/>
+        <Coordinate Order="1" X="300.0" Y="200.5"/>
+        <Coordinate Order="2" X="300.0" Y="400.0"/>
+      </Coordinates>
+    </Annotation>
+  </Annotations>
+</ASAP_Annotations>
+"""
+
+
+class TestSlideModel:
+    def test_parse_asap(self, tmp_path):
+        p = tmp_path / "a.xml"
+        p.write_text(ASAP_XML)
+        anns = parse_asap_annotations(str(p))
+        assert len(anns) == 1
+        assert anns[0].polygon == [(100.5, 200.5), (300.0, 200.5),
+                                   (300.0, 400.0)]
+        assert anns[0].part_of_group == "Tumor"
+
+    def test_array_slide_levels(self):
+        s = ArraySlide(_tissue_image(400, 400), n_levels=3)
+        assert s.level_dimensions[0] == (400, 400)
+        assert s.level_dimensions[1] == (200, 200)
+        assert s.level_downsamples[2] == pytest.approx(4.0)
+        r = s.read_region((100, 100), 0, (64, 64))
+        assert r.shape == (64, 64, 3)
+
+    @pytest.fixture()
+    def cam_dir(self, tmp_path):
+        from PIL import Image
+        d = tmp_path / "cam16"
+        for sub in ["training/normal", "training/tumor",
+                    "training/lesion_annotations", "testing/images"]:
+            (d / sub).mkdir(parents=True)
+        img = Image.fromarray(_tissue_image(300, 300))
+        img.save(d / "training/normal/normal_001.png")
+        img.save(d / "training/tumor/tumor_001.png")
+        (d / "training/lesion_annotations/tumor_001.xml").write_text(ASAP_XML)
+        img.save(d / "testing/images/test_001.png")
+        with open(d / "otsu.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["name", "level", "threshold"])
+            w.writerow(["normal_001", 0, 12.5])
+        return str(d)
+
+    def test_slide_manager(self, cam_dir):
+        man = SlideManager(data_dir=cam_dir, otsu_fname="otsu.csv")
+        assert man.slide_names == ("normal_001", "tumor_001", "test_001")
+        assert not man.get_slide("normal_001").has_tumor
+        assert man.get_slide("tumor_001").has_tumor
+        assert len(man.get_slide("tumor_001").annotations) == 1
+        assert man.get_slide("normal_001").get_otsu_threshold(0) == 12.5
+        assert man.get_slide_names_subset(train=True) == ("normal_001",
+                                                          "tumor_001")
+        assert man.get_slide_names_subset(train=False) == ("test_001",)
+
+    def test_offline_pipeline_end_to_end(self, cam_dir):
+        """otsu CLI -> foreground CLI -> extract_feat with a toy encoder."""
+        from ips_tpu.data.camelyon.extract_feat import extract_features
+        from ips_tpu.data.camelyon.foreground import compute_foreground
+        from ips_tpu.data.camelyon.otsu import compute_thresholds
+
+        otsu_path = compute_thresholds(cam_dir, "otsu2.csv", n_worker=1)
+        assert os.path.exists(otsu_path)
+        with open(otsu_path) as f:
+            rows = list(csv.DictReader(f))
+        assert {r["name"] for r in rows} == {"normal_001", "tumor_001",
+                                             "test_001"}
+
+        out = os.path.join(cam_dir, "fg")
+        coords_p, bounds_p = compute_foreground(
+            cam_dir, "otsu2.csv", out, train=True, tile_size=100,
+            fg_perc_thresh=0.05, n_worker=1)
+        import pandas as pd
+        coords = pd.read_pickle(coords_p)
+        bounds = pd.read_pickle(bounds_p)
+        assert len(coords) > 0 and len(bounds) == 2
+        assert list(coords.columns) == ["name", "x", "y", "pos_id"]
+
+        feat_path = os.path.join(cam_dir, "feat.h5")
+
+        def toy_encoder(batch):   # (B, 224, 224, 3) -> (B, 8)
+            return batch.mean(axis=(1, 2)).repeat(3, axis=-1)[:, :8]
+
+        extract_features(cam_dir, "otsu2.csv", bounds_p, coords_p, feat_path,
+                         tile_size=100, batch_size=4, encoder=toy_encoder)
+        import h5py
+        with h5py.File(feat_path) as f:
+            names = list(f.keys())
+            assert set(names) == {"normal_001", "tumor_001"}
+            assert f["tumor_001"].attrs["label"] == 1
+            assert f["normal_001"].attrs["label"] == 0
+            assert f["normal_001"]["img"].shape[1] == 8
+            n = f["normal_001"]["img"].shape[0]
+            assert f["normal_001"]["pos"].shape == (n,)
+
+
+class TestFeatureDataset:
+    def test_buckets(self):
+        assert default_buckets(100, 10, 20) == [10, 30, 50, 90, 170]
+        x = np.ones((37, 4), np.float32)
+        padded, mask = pad_to_bucket(x, [10, 50, 100])
+        assert padded.shape == (50, 4)
+        assert mask.sum() == 37 and not mask[37:].any()
+        assert (padded[37:] == 0).all()
+        with pytest.raises(ValueError):
+            pad_to_bucket(np.ones((200, 4)), [100])
+
+    def test_dataset_loads_synth(self, tmp_path, feat_conf):
+        path = str(tmp_path / "synth.h5")
+        make_synth_features(path, n_slides=6, feat_dim=feat_conf.n_chan_in,
+                            n_range=(20, 60))
+        conf = feat_conf.replace(data_dir=str(tmp_path),
+                                 train_fname="synth.h5",
+                                 test_fname="synth.h5", M=8, I=8)
+        ds = CamelyonFeatures(conf, train=True)
+        assert len(ds) == 6
+        item = ds[0]
+        assert item["input"].shape[0] in ds.buckets
+        assert item["mask"].dtype == bool
+        assert item["metastases"] in (0, 1)
+        # thread-safety: loader with workers
+        from ips_tpu.data.loader import DataLoader
+        batches = list(DataLoader(ds, batch_size=1, num_workers=2))
+        assert len(batches) == 6

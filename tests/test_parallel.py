@@ -1,0 +1,122 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ips_tpu.ops.selection import ips_select
+from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer, ips_select_cp
+from ips_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def _value_encode(x):
+    return jnp.concatenate([x, x], axis=-1)
+
+
+def _value_score(emb, mask):
+    return emb[..., 0]
+
+
+def _vals(B, N):
+    return jnp.broadcast_to(jnp.arange(N, dtype=jnp.float32)[None, :, None],
+                            (B, N, 1))
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        assert len(jax.devices()) == 8
+        m = make_mesh(4, 2)
+        assert m.shape == {"data": 4, "patch": 2}
+        with pytest.raises(ValueError):
+            make_mesh(8, 2)
+
+    def test_shard_and_replicate(self):
+        m = make_mesh(4, 2)
+        x = jnp.zeros((8, 16, 3))
+        xs = shard_batch(m, {"a": x})["a"]
+        assert xs.sharding.spec[0] == "data"
+        xr = replicate(m, x)
+        assert xr.sharding.is_fully_replicated
+
+
+class TestContextParallelSelection:
+    def test_cp_matches_single_with_set_independent_scores(self):
+        # With a set-independent scorer, local top-M + merge must equal the
+        # single-stream selection's final set.
+        B, N, M, I = 2, 32, 3, 4
+        single = ips_select(_value_encode, _value_score, _vals(B, N), M=M,
+                            I=I)
+        cp = ips_select_cp(_value_encode, _value_score, _vals(B, N), M=M,
+                           I=I, n_shards=4)
+        np.testing.assert_array_equal(np.asarray(cp.mem_idx),
+                                      np.asarray(single.mem_idx))
+        np.testing.assert_array_equal(np.asarray(cp.mem_patch),
+                                      np.asarray(single.mem_patch))
+
+    def test_cp_masks_respected(self):
+        mask = jnp.arange(32)[None, :].repeat(2, 0) < 20
+        cp = ips_select_cp(_value_encode, _value_score, _vals(2, 32), M=3,
+                           I=4, n_shards=4, mask=mask)
+        np.testing.assert_array_equal(np.asarray(cp.mem_idx),
+                                      [[19, 18, 17]] * 2)
+
+    def test_cp_rejects_small_shards(self):
+        with pytest.raises(ValueError, match="M < N/n_shards"):
+            ips_select_cp(_value_encode, _value_score, _vals(1, 16), M=4,
+                          I=4, n_shards=4)
+        with pytest.raises(ValueError, match="not divisible"):
+            ips_select_cp(_value_encode, _value_score, _vals(1, 30), M=2,
+                          I=4, n_shards=4)
+
+    def test_cp_runs_under_mesh(self):
+        # Execute with the patch axis actually sharded over devices.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = make_mesh(2, 4)
+        patches = jax.device_put(_vals(2, 32),
+                                 NamedSharding(mesh, P("data", "patch")))
+        cp = jax.jit(lambda p: ips_select_cp(
+            _value_encode, _value_score, p, M=3, I=4, n_shards=4).mem_idx)(
+                patches)
+        np.testing.assert_array_equal(np.asarray(cp), [[31, 30, 29]] * 2)
+
+
+class TestShardedTrainer:
+    def test_dp_fused_step_runs_and_matches_semantics(self, tiny_conf):
+        conf = tiny_conf.replace(B=8, B_seq=8, mesh_data=8, mesh_patch=1,
+                                 donate_buffers=False)
+        trainer = ShardedIPSTrainer(conf)
+        rng = jax.random.PRNGKey(0)
+        patches = jax.random.uniform(rng, (8, conf.N, 16, 16, 1))
+        mask = jnp.ones((8, conf.N), bool)
+        labels = {"majority": jnp.arange(8, dtype=jnp.int32) % conf.n_class,
+                  "multi": jnp.zeros((8, conf.n_class), jnp.float32)}
+        w = jnp.ones((8,), jnp.float32)
+        batch = shard_batch(trainer.mesh,
+                            {"p": patches, "m": mask, "w": w, **labels})
+        loss, task_losses, _ = trainer.fused_step(
+            batch["p"], batch["m"],
+            {"majority": batch["majority"], "multi": batch["multi"]},
+            batch["w"], rng, 1e-3)
+        assert np.isfinite(float(loss))
+        # params remain replicated after the update
+        leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_dp_cp_mesh_select(self, tiny_conf):
+        conf = tiny_conf.replace(B=4, B_seq=4, N=16, M=3, I=4, mesh_data=2,
+                                 mesh_patch=4, use_pos=True,
+                                 donate_buffers=False)
+        trainer = ShardedIPSTrainer(conf)
+        rng = jax.random.PRNGKey(1)
+        patches = jax.random.uniform(rng, (4, 16, 16, 16, 1))
+        mem_patch, mem_pos, mem_idx, mem_mask = trainer.select(patches,
+                                                               rng=rng)
+        assert mem_patch.shape == (4, 3, 16, 16, 1)
+        assert mem_pos.shape == (4, 3, conf.D)
+        idx = np.asarray(mem_idx)
+        assert (idx >= 0).all() and (idx < 16).all()
+        # selected positions' pos-enc rows must match their indices
+        table = np.asarray(trainer.pos_table)
+        np.testing.assert_allclose(np.asarray(mem_pos)[0], table[idx[0]],
+                                   rtol=1e-6)

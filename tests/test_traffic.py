@@ -1,0 +1,143 @@
+"""Traffic-signs dataset: annotation parsing, filtering, augmentations."""
+
+import numpy as np
+import pytest
+
+from ips_tpu.config import config_from_dict
+from ips_tpu.data.traffic import (CLASSES, Sign, STS, TrafficSigns,
+                                  color_jitter, filter_sts, parse_annotations,
+                                  random_translate)
+
+ANNOTATIONS = "\n".join([
+    "img1.jpg:VISIBLE, 100.1, 200.2, 50.5, 150.x, PROHIBITORY, 70_SIGN",
+    "img2.jpg:",
+    "img3.jpg:MISC_SIGNS;OCCLUDED, 90., 180., 40., 140., PROHIBITORY, 50_SIGN",
+    "img4.jpg:BLURRED, 80., 170., 30., 130., PROHIBITORY, 80_SIGN;"
+    "VISIBLE, 85., 175., 35., 135., PROHIBITORY, 50_SIGN",
+    "img5.jpg:VISIBLE, 60., 160., 20., 120., INFORMATION, PED_CROSSING",
+])
+
+
+@pytest.fixture()
+def annot_file(tmp_path):
+    p = tmp_path / "annotations.txt"
+    p.write_text(ANNOTATIONS + "\n")
+    return str(p)
+
+
+class TestParsing:
+    def test_parse(self, annot_file):
+        recs = parse_annotations(annot_file)
+        assert len(recs) == 5
+        name, signs = recs[0]
+        assert name == "img1.jpg" and len(signs) == 1
+        s = signs[0]
+        assert s.visibility == "VISIBLE" and s.name == "70_SIGN"
+        # trailing-junk float parsing ('150.' etc.)
+        assert s.bbox == (100.1, 200.2, 50.5, 150.0)
+        # MISC_SIGNS dropped
+        assert len(recs[2][1]) == 1
+        # empty annotation line -> no signs
+        assert recs[1][1] == []
+
+    def test_sign_ordering(self):
+        visible_small = Sign("VISIBLE", (10, 10, 0, 0), "t", "50_SIGN")
+        visible_big = Sign("VISIBLE", (100, 100, 0, 0), "t", "50_SIGN")
+        blurred_huge = Sign("BLURRED", (500, 500, 0, 0), "t", "50_SIGN")
+        ranked = sorted([blurred_huge, visible_small, visible_big],
+                        key=Sign.sort_key)
+        assert ranked[0] is visible_big       # visible first, larger first
+        assert ranked[-1] is blurred_huge
+
+
+class TestFilter:
+    def test_filter_semantics(self):
+        data = [
+            ("a", []),                                             # EMPTY
+            ("b", [Sign("VISIBLE", (85, 175, 35, 135), "t", "50_SIGN")]),
+            ("c", [Sign("OCCLUDED", (90, 180, 40, 140), "t", "50_SIGN")]),
+            ("d", [Sign("VISIBLE", (60, 160, 20, 120), "t", "PED")]),  # drop
+            ("e", [Sign("BLURRED", (80, 170, 30, 130), "t", "80_SIGN"),
+                   Sign("VISIBLE", (85, 175, 35, 135), "t", "50_SIGN")]),
+        ]
+        out = filter_sts(data)
+        assert ("a", 0) in out
+        assert ("b", CLASSES.index("50_SIGN")) in out
+        assert all(n != "c" for n, _ in out)     # occluded top sign -> drop
+        assert all(n != "d" for n, _ in out)     # non-limit signs -> drop
+        # most visible limit sign wins
+        assert ("e", CLASSES.index("50_SIGN")) in out
+
+
+class TestAugment:
+    def test_color_jitter_bounds(self, np_rng):
+        img = np_rng.random((16, 16, 3)).astype(np.float32)
+        out = color_jitter(img, np_rng)
+        assert out.shape == img.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert not np.allclose(out, img)
+
+    def test_random_translate(self):
+        img = np.zeros((10, 10, 1), np.float32)
+        img[5, 5] = 1.0
+        rng = np.random.default_rng(3)
+        out = random_translate(img, rng, max_dx=2, max_dy=2)
+        assert out.sum() == 1.0                  # point moved, not lost
+        y, x, _ = np.argwhere(out == 1.0)[0]
+        assert abs(y - 5) <= 2 and abs(x - 5) <= 2
+
+    def test_translate_clips_at_border(self):
+        img = np.ones((6, 6, 1), np.float32)
+
+        class FixedRng:
+            def integers(self, lo, hi):
+                return 3
+        out = random_translate(img, FixedRng(), 3, 3)
+        assert out[:3].sum() == 0 and out[3:, 3:].sum() == 9
+
+
+class TestDataset:
+    def test_missing_data_raises_clearly(self, tmp_path):
+        conf = config_from_dict(dict(
+            data_dir=str(tmp_path / "none"), patch_size=[100, 100],
+            patch_stride=[100, 100], N=192, M=10, I=32, n_class=4,
+            n_token=1,
+            tasks={"task0": {"id": 0, "name": "sign", "act_fn": "softmax",
+                             "metric": "accuracy"}}))
+        with pytest.raises(FileNotFoundError, match="STS dataset"):
+            TrafficSigns(conf, train=True, allow_download=False)
+
+    def test_end_to_end_with_local_images(self, tmp_path, annot_file, np_rng):
+        # Build a fake Set1/Set2 with tiny images; dataset must resize,
+        # normalize, and patchify them.
+        import shutil
+        from PIL import Image
+        for s in ("Set1", "Set2"):
+            d = tmp_path / s
+            d.mkdir()
+            shutil.copy(annot_file, d / "annotations.txt")
+            for i in range(1, 6):
+                arr = (np_rng.random((60, 80, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"img{i}.jpg")
+        conf = config_from_dict(dict(
+            data_dir=str(tmp_path), patch_size=[100, 100],
+            patch_stride=[100, 100], N=192, M=10, I=32, n_class=4,
+            n_token=1, seed=0,
+            tasks={"task0": {"id": 0, "name": "sign", "act_fn": "softmax",
+                             "metric": "accuracy"}}))
+
+        import ips_tpu.data.traffic as traffic_mod
+        orig = traffic_mod.file_md5_ok
+        traffic_mod.file_md5_ok = lambda *a: True  # bypass md5 for fixture
+        try:
+            ds = TrafficSigns(conf, train=True, allow_download=False)
+            # img1 (70), img2 (EMPTY), img4 (50); img3 occluded, img5 no limit
+            assert len(ds) == 3
+            item = ds[0]
+            assert item["input"].shape == (192, 100, 100, 3)  # 12*16 patches
+            assert 0 <= item["sign"] < 4
+            ds_eval = TrafficSigns(conf, train=False, allow_download=False)
+            item2 = ds_eval[0]
+            assert item2["input"].shape == (192, 100, 100, 3)
+        finally:
+            traffic_mod.file_md5_ok = orig
