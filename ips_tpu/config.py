@@ -98,7 +98,10 @@ class Config:
 
     # ===== TPU-native extensions (not in reference schema; all defaulted) =====
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16' encoder/attn compute
-    use_pallas: bool = False           # fused Pallas score kernel on the hot path
+    score_impl: str = "fast"           # 'attn' (reference-shaped), 'fast'
+                                       # (query-folded single GEMM), 'pallas'
+                                       # (fused kernel); all numerically equal
+    use_pallas: bool = False           # back-compat alias for score_impl='pallas'
     mesh_data: int = 1                 # data-parallel mesh axis size
     mesh_patch: int = 1                # context/patch-parallel mesh axis size
     donate_buffers: bool = True        # donate train-state in jitted steps
@@ -123,6 +126,10 @@ class Config:
             raise ValueError(f"unknown shuffle_style {self.shuffle_style!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
+        if self.use_pallas:
+            self.score_impl = "pallas"
+        if self.score_impl not in ("attn", "fast", "pallas"):
+            raise ValueError(f"unknown score_impl {self.score_impl!r}")
         if self.M <= 0 or self.I <= 0:
             raise ValueError("M and I must be positive")
         if self.B % self.B_seq != 0:

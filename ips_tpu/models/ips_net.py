@@ -74,8 +74,26 @@ class IPSModel(nn.Module):
 
     def scores(self, emb: jax.Array,
                mask: Optional[jax.Array] = None) -> jax.Array:
-        """Deterministic saliency scores (B, L) from embeddings (B, L, D)."""
-        return self.transf.get_scores(emb, mask)
+        """Deterministic saliency scores (B, L) from embeddings (B, L, D).
+
+        Dispatches on conf.score_impl; 'fast' and 'pallas' fold the query
+        tokens into the key projection so the whole scorer is one GEMM
+        (ips_tpu/ops/score_kernel.py) — numerically identical to the
+        reference-shaped 'attn' path.
+        """
+        impl = self.conf.score_impl
+        if impl == "attn":
+            return self.transf.get_scores(emb, mask)
+        from ips_tpu.ops.score_kernel import (fast_scores, fold_query,
+                                              pallas_scores)
+        att = self.transf.crs_attn
+        w_eff = fold_query(att.q, att.q_w.variables["params"]["kernel"],
+                           att.k_w.variables["params"]["kernel"],
+                           self.conf.H, self.conf.D_k)
+        emb = emb.astype(jnp.float32)
+        if impl == "pallas":
+            return pallas_scores(emb, w_eff, mask)
+        return fast_scores(emb, w_eff, mask)
 
     def aggregate(self, emb: jax.Array, mask: Optional[jax.Array] = None,
                   train: bool = False) -> jax.Array:
