@@ -117,13 +117,35 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
         is_last = it == steps_per_epoch - 1
         rng = jax.random.fold_in(base_rng, it)
 
-        patches = jnp.asarray(batch["input"])
-        B_seq, N = patches.shape[:2]
-        mask = _batch_mask(batch, B_seq, N)
+        B_seq, N = batch["input"].shape[:2]
         labels = _labels_from_batch(conf, batch)
 
         if assembler.n_prep == 0:
             tracker.start()
+
+        if not conf.eager:
+            # Lazy mode: patches stay on host, chunks stream to HBM.
+            mem_patch, mem_pos, _, mem_mask = trainer.select_streaming(
+                batch["input"], batch.get("mask"), rng)
+            assembler.add(mem_patch, mem_pos, mem_mask, labels)
+            if assembler.full or is_last:
+                patch, pos, mmask, lab, weights = assembler.take()
+                data_it_lr = data_it + 1
+                last_lr = warmup_cosine_lr(data_it_lr, steps_per_epoch,
+                                           conf.n_epoch, conf.n_epoch_warmup,
+                                           conf.lr)
+                loss, task_losses, preds = trainer.train_step(
+                    patch, pos, mmask, lab, weights,
+                    jax.random.fold_in(rng, 1), last_lr)
+                tracker.stop((loss, preds), epoch, data_it, is_last)
+                tl, pr = _to_host(task_losses, preds)
+                logger.update(tl, pr,
+                              {k: np.asarray(v) for k, v in lab.items()},
+                              weights=np.asarray(weights))
+            continue
+
+        patches = jnp.asarray(batch["input"])
+        mask = _batch_mask(batch, B_seq, N)
 
         # Fast path: loader batch == optimizer batch, fused select+train.
         if conf.B_seq == conf.B and B_seq == conf.B:
@@ -168,12 +190,17 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
     for it, batch in enumerate(loader):
         is_last = it == steps_per_epoch - 1
         rng = jax.random.fold_in(base_rng, it)
-        patches = jnp.asarray(batch["input"])
-        B_seq, N = patches.shape[:2]
-        mask = _batch_mask(batch, B_seq, N)
         labels = _labels_from_batch(conf, batch)
 
-        mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask, rng)
+        if not conf.eager:
+            mem_patch, mem_pos, _, mem_mask = trainer.select_streaming(
+                batch["input"], batch.get("mask"), rng)
+        else:
+            patches = jnp.asarray(batch["input"])
+            B_seq, N = patches.shape[:2]
+            mask = _batch_mask(batch, B_seq, N)
+            mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask,
+                                                             rng)
         assembler.add(mem_patch, mem_pos, mem_mask, labels)
 
         if assembler.full or is_last:

@@ -108,6 +108,7 @@ class IPSTrainer:
                           if conf.use_pos and conf.N > 0 else None)
 
         self._select = jax.jit(self._select_impl)
+        self._streaming = None
         donate = (0,) if conf.donate_buffers else ()
         self._train = jax.jit(self._train_impl, donate_argnums=donate)
         self._eval = jax.jit(self._eval_impl)
@@ -146,6 +147,16 @@ class IPSTrainer:
             rng = jax.random.PRNGKey(0)
         return self._select(self.state.params, self.state.batch_stats,
                             patches, mask, rng)
+
+    def select_streaming(self, patches, mask=None, rng=None):
+        """Lazy-mode IPS: patches stay in host RAM, chunks stream to HBM
+        (reference `eager: false`, ips_net.py:223)."""
+        import numpy as np
+
+        from ips_tpu.train.streaming import StreamingSelector
+        if self._streaming is None:
+            self._streaming = StreamingSelector(self)
+        return self._streaming.select(np.asarray(patches), mask, rng)
 
     # -- gradient step ------------------------------------------------------
     def _loss_and_aux(self, params, batch_stats, mem_patch, mem_pos, mem_mask,

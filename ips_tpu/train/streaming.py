@@ -1,0 +1,124 @@
+"""Streaming (lazy) selection: patches stay in host RAM, chunks stream in.
+
+The reference's lazy mode keeps the (B, N, ...) patch tensor on the host
+and moves one I-chunk to the device per selection iteration
+(reference main.py:121 `conf.eager`, ips_net.py:206,223). TPU-native
+equivalent: one jitted selection step compiled once, a host loop that
+gathers chunk k+1 and starts its `jax.device_put` while the device is
+busy with chunk k (double buffering), and a final host-side gather of the
+M surviving raw patches. Device memory holds O(M + I) patches — images of
+any N fit, bounded only by host RAM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ips_tpu.ops.selection import select_top_m
+from ips_tpu.ops.shuffle import make_permutation
+
+
+class StreamingSelector:
+    """Owns the per-chunk jitted step for an IPSTrainer."""
+
+    def __init__(self, trainer):
+        self.trainer = trainer
+        self.conf = trainer.conf
+
+        def init_fn(params, batch_stats, init_patch):
+            encode, _ = trainer._enc_score_fns(params, batch_stats)
+            return encode(init_patch)
+
+        def step_fn(params, batch_stats, mem_emb, mem_idx, mem_valid,
+                    chunk, chunk_idx, chunk_valid):
+            encode, score = trainer._enc_score_fns(params, batch_stats)
+            cand_emb = encode(chunk)
+            all_emb = jnp.concatenate([mem_emb, cand_emb], axis=1)
+            all_idx = jnp.concatenate([mem_idx, chunk_idx], axis=1)
+            all_valid = jnp.concatenate([mem_valid, chunk_valid], axis=1)
+            pos_table = trainer.pos_table
+            emb_to_score = (all_emb + pos_table[all_idx]
+                            if pos_table is not None else all_emb)
+            return select_top_m(all_emb, emb_to_score, all_idx, all_valid,
+                                self.conf.M, score)
+
+        self._init = jax.jit(init_fn)
+        self._step = jax.jit(step_fn)
+
+    def select(self, patches: np.ndarray, mask: Optional[np.ndarray] = None,
+               rng: Optional[jax.Array] = None
+               ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array,
+                          jax.Array]:
+        """Returns (mem_patch, mem_pos, mem_idx, mem_mask) on device."""
+        conf = self.conf
+        trainer = self.trainer
+        M, I = conf.M, conf.I
+        B, N = patches.shape[:2]
+        state = trainer.state
+
+        if mask is None:
+            mask_np = np.ones((B, N), bool)
+        else:
+            mask_np = np.asarray(mask)
+
+        # Shortcut parity with the scan engine (reference ips_net.py:184-188).
+        if M >= N:
+            dev_patch = jnp.asarray(patches)
+            idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+            pos = (jnp.broadcast_to(trainer.pos_table[None, :N],
+                                    (B, N, conf.D))
+                   if trainer.pos_table is not None else None)
+            return dev_patch, pos, idx, jnp.asarray(mask_np)
+
+        # Same permutation semantics as the fused engine (tiny, device ok).
+        perm = np.asarray(make_permutation(
+            rng, B, N, jnp.asarray(mask_np), conf.shuffle,
+            conf.shuffle_style))
+        perm_valid = np.take_along_axis(mask_np, perm, axis=1)
+
+        rows = np.arange(B)[:, None]
+        from ips_tpu.native import gather_patches
+
+        def host_chunk(start: int, size: int):
+            idx = perm[:, start:start + size]
+            valid = perm_valid[:, start:start + size]
+            if idx.shape[1] < size:                 # ragged tail: pad
+                pad = size - idx.shape[1]
+                idx = np.pad(idx, ((0, 0), (0, pad)))
+                valid = np.pad(valid, ((0, 0), (0, pad)))
+            return (gather_patches(patches, idx), idx.astype(np.int32),
+                    valid)
+
+        # init buffer = first M (post-shuffle) patches
+        init_np, init_idx, init_valid = host_chunk(0, M)
+        mem_emb = self._init(state.params, state.batch_stats,
+                             jax.device_put(init_np))
+        mem_idx = jax.device_put(init_idx)
+        mem_valid = jax.device_put(init_valid)
+
+        starts = list(range(M, N, I))
+        # double buffer: next chunk's transfer starts before we block
+        next_dev = None
+        if starts:
+            c, ci, cv = host_chunk(starts[0], I)
+            next_dev = (jax.device_put(c), jax.device_put(ci),
+                        jax.device_put(cv))
+        for k, start in enumerate(starts):
+            cur = next_dev
+            if k + 1 < len(starts):
+                c, ci, cv = host_chunk(starts[k + 1], I)
+                next_dev = (jax.device_put(c), jax.device_put(ci),
+                            jax.device_put(cv))
+            mem_emb, mem_idx, mem_valid = self._step(
+                state.params, state.batch_stats, mem_emb, mem_idx,
+                mem_valid, *cur)
+
+        mem_idx_np = np.asarray(mem_idx)
+        mem_patch = jax.device_put(patches[rows, mem_idx_np])
+        mem_pos = (trainer.pos_table[mem_idx]
+                   if trainer.pos_table is not None else None)
+        return mem_patch, mem_pos, mem_idx, mem_valid
