@@ -1,0 +1,52 @@
+"""Multi-host initialization + mesh spanning hosts.
+
+The reference is single-process/single-GPU (reference main.py:19-20);
+this module is the multi-host entry point for pod slices: call
+``initialize()`` once per process before any jax op, then build a mesh
+over ``jax.devices()`` (all hosts' devices). XLA routes collectives over
+ICI within a slice and DCN across slices.
+
+On TPU pods the coordinator/process_id/num_processes are auto-detected
+from the environment; arguments are only needed for manual (e.g. CPU
+fleet) setups.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+_initialized = False
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Idempotent jax.distributed.initialize wrapper."""
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        _initialized = True
+    except (ValueError, RuntimeError):
+        # single-process run without distributed env: fine
+        _initialized = True
+
+
+def global_mesh(data: Optional[int] = None, patch: int = 1):
+    """Mesh over every device of every host; data axis defaults to
+    len(all devices) // patch."""
+    from ips_tpu.parallel.mesh import make_mesh
+    n = len(jax.devices())
+    if data is None:
+        data = n // patch
+    return make_mesh(data, patch, devices=jax.devices())
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
