@@ -38,6 +38,8 @@ def _conf(compute_dtype: str, B: int):
         N=900, M=100, I=100, patch_size=[50, 50], patch_stride=[50, 50],
         use_pos=True, H=8, D=128, D_k=16, D_v=16, D_inner=512,
         compute_dtype=compute_dtype, donate_buffers=True,
+        input_dtype=("bfloat16" if compute_dtype == "bfloat16"
+                     else "float32"),
         tasks={
             "task0": {"id": 0, "name": "majority", "act_fn": "softmax",
                       "metric": "accuracy"},

@@ -38,6 +38,10 @@ def build_datasets(conf: Config, dataset: str):
         from ips_tpu.data.camelyon.dataset import CamelyonFeatures
         return (CamelyonFeatures(conf, train=True),
                 CamelyonFeatures(conf, train=False))
+    if dataset == "camelyon_e2e":
+        from ips_tpu.data.camelyon.patches import CamelyonPatches
+        return (CamelyonPatches(conf, train=True),
+                CamelyonPatches(conf, train=False))
     raise ValueError(f"unknown dataset {dataset!r}")
 
 
@@ -76,13 +80,11 @@ def run(conf: Config, dataset: str):
         lr = train_one_epoch(trainer, train_loader, epoch, log_train, conf,
                              tracker)
         log_train.compute_metric()
-        log_train.print_stats(len(log_train.metrics[conf.task_list[0].name]) - 1,
-                              train=True, lr=lr)
+        log_train.print_stats(epoch, train=True, lr=lr)
 
         evaluate(trainer, test_loader, log_test, conf)
         log_test.compute_metric()
-        log_test.print_stats(len(log_test.metrics[conf.task_list[0].name]) - 1,
-                             train=False)
+        log_test.print_stats(epoch, train=False)
 
         if ckpt_mgr and conf.checkpoint_every and \
                 (epoch + 1) % conf.checkpoint_every == 0:
@@ -96,7 +98,7 @@ def run(conf: Config, dataset: str):
 def main(argv=None):
     p = argparse.ArgumentParser(description="ips_tpu training driver")
     p.add_argument("--dataset", default="mnist",
-                   choices=["mnist", "traffic", "camelyon"])
+                   choices=["mnist", "traffic", "camelyon", "camelyon_e2e"])
     p.add_argument("--config", default=None,
                    help="YAML config path (default: config/<dataset>_config.yml)")
     p.add_argument("overrides", nargs="*",

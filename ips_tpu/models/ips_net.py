@@ -66,7 +66,14 @@ class IPSModel(nn.Module):
 
     # -- pieces used by the selection engine --------------------------------
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
-        """Encode patches: (B, n, ph, pw, C) or (B, n, F) -> (B, n, D)."""
+        """Encode patches: (B, n, ph, pw, C) or (B, n, F) -> (B, n, D).
+
+        uint8 patches (raw image tiles kept compact in HBM) are scaled to
+        [0, 1] here, per chunk — the resident (B, N, ...) tensor stays
+        uint8 so selection over raw tiles costs 1/4 the memory of fp32.
+        """
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
         lead = x.shape[:2]
         flat = x.reshape((lead[0] * lead[1],) + x.shape[2:])
         emb = self.encoder(flat, train=train)

@@ -103,6 +103,13 @@ def _batch_mask(batch: Dict[str, np.ndarray], B: int, N: int):
     return jnp.ones((B, N), dtype=bool)
 
 
+def _maybe_log_step(conf: Config, data_it: int, loss, lr: float):
+    """Optional per-step stdout logging (conf.log_every; forces a sync)."""
+    if conf.log_every and (data_it + 1) % conf.log_every == 0:
+        print(f"step {data_it + 1}: loss {float(loss):.5f}, lr {lr:.3g}",
+              flush=True)
+
+
 def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Config,
                     tracker: Optional[EfficiencyTracker] = None):
     """One training epoch (reference training/iterative.py:103-189)."""
@@ -138,6 +145,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
                     patch, pos, mmask, lab, weights,
                     jax.random.fold_in(rng, 1), last_lr)
                 tracker.stop((loss, preds), epoch, data_it, is_last)
+                _maybe_log_step(conf, data_it, loss, last_lr)
                 tl, pr = _to_host(task_losses, preds)
                 logger.update(tl, pr,
                               {k: np.asarray(v) for k, v in lab.items()},
@@ -156,6 +164,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             loss, task_losses, preds = trainer.fused_step(
                 patches, mask, labels, weights, rng, last_lr)
             tracker.stop((loss, preds), epoch, data_it, is_last)
+            _maybe_log_step(conf, data_it, loss, last_lr)
             tl, pr = _to_host(task_losses, preds)
             logger.update(tl, pr, {k: np.asarray(v)
                                    for k, v in labels.items()})
@@ -173,6 +182,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
                 patch, pos, mmask, lab, weights,
                 jax.random.fold_in(rng, 1), last_lr)
             tracker.stop((loss, preds), epoch, data_it, is_last)
+            _maybe_log_step(conf, data_it, loss, last_lr)
             tl, pr = _to_host(task_losses, preds)
             logger.update(tl, pr, {k: np.asarray(v) for k, v in lab.items()},
                           weights=np.asarray(weights))

@@ -102,7 +102,15 @@ class MetricsLogger:
                 val = float(np.all(hard == y_true, axis=-1).sum()
                             / max(hard.shape[0], 1))
             elif metric == "auc":
-                val = _auc(y_true, np.squeeze(y_pred))
+                y_score = np.atleast_1d(np.squeeze(y_pred))
+                if len(np.unique(y_true)) < 2:
+                    # AUC undefined with one class present (tiny epochs);
+                    # report nan instead of crashing mid-training.
+                    print(f"[metrics] AUC for task {name!r} undefined: "
+                          "only one class present this epoch", flush=True)
+                    val = float("nan")
+                else:
+                    val = _auc(y_true, y_score)
             else:  # pragma: no cover
                 raise ValueError(f"unknown metric {metric!r}")
             self.metrics[name].append(val)
@@ -111,11 +119,16 @@ class MetricsLogger:
             self.y_trues[name] = []
 
     def print_stats(self, epoch: int, train: bool, **kwargs):
+        """Print the MOST RECENT epoch's stats, labeled `epoch + 1`.
+
+        `epoch` is only a label (so resumed runs print the true epoch
+        number); values always come from the latest compute_metric().
+        """
         s = ("Train" if train else "Test") + f" Epoch: {epoch + 1} \n"
         avg_loss = 0.0
         for t in self.tasks:
-            mean_loss = self.losses_epoch[t.name][epoch]
-            metric = self.metrics[t.name][epoch]
+            mean_loss = self.losses_epoch[t.name][-1]
+            metric = self.metrics[t.name][-1]
             avg_loss += mean_loss
             s += (f"task: {t.name}, mean loss: {mean_loss:.5f}, "
                   f"{t.metric}: {metric:.5f}, ")

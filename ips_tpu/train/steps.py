@@ -131,6 +131,10 @@ class IPSTrainer:
     # -- selection ----------------------------------------------------------
     def _select_impl(self, params, batch_stats, patches, mask, rng):
         conf = self.conf
+        if conf.input_dtype == "bfloat16" and patches.dtype != jnp.uint8:
+            # one up-front cast: halves HBM traffic of every chunk gather
+            # (uint8 tiles are already compact and convert per-chunk)
+            patches = patches.astype(jnp.bfloat16)
         encode, score = self._enc_score_fns(params, batch_stats)
         res = ips_select(
             encode, score, patches, M=conf.M, I=conf.I,

@@ -236,3 +236,67 @@ class TestFeatureDataset:
         from ips_tpu.data.loader import DataLoader
         batches = list(DataLoader(ds, batch_size=1, num_workers=2))
         assert len(batches) == 6
+
+
+class TestEndToEndImageMode:
+    """CamelyonPatches: raw uint8 tiles through selection + training."""
+
+    @pytest.fixture()
+    def e2e_dir(self, tmp_path):
+        from PIL import Image
+        from ips_tpu.data.camelyon.foreground import compute_foreground
+        from ips_tpu.data.camelyon.otsu import compute_thresholds
+        d = tmp_path / "cam16"
+        for sub in ["training/normal", "training/tumor",
+                    "training/lesion_annotations", "testing/images"]:
+            (d / sub).mkdir(parents=True)
+        img = Image.fromarray(_tissue_image(300, 300))
+        img.save(d / "training/normal/normal_001.png")
+        img.save(d / "training/tumor/tumor_001.png")
+        (d / "training/lesion_annotations/tumor_001.xml").write_text(ASAP_XML)
+        img.save(d / "testing/images/test_001.png")
+        compute_thresholds(str(d), "otsu.csv", n_worker=1)
+        compute_foreground(str(d), "otsu.csv", str(d / "fg"), train=True,
+                           tile_size=64, fg_perc_thresh=0.05, n_worker=1)
+        compute_foreground(str(d), "otsu.csv", str(d / "fg"), train=False,
+                           tile_size=64, fg_perc_thresh=0.05, n_worker=1)
+        return str(d)
+
+    def _conf(self, d):
+        from ips_tpu.config import config_from_dict
+        return config_from_dict(dict(
+            n_epoch=1, B=2, B_seq=1, n_epoch_warmup=1, lr=1e-3, wd=0.1,
+            n_class=1, data_dir=d, is_image=True, enc_type="resnet18",
+            n_chan_in=3, n_res_blocks=2, shuffle=True, n_token=1,
+            N=0, M=4, I=4, patch_size=[64, 64], patch_stride=[64, 64],
+            use_pos=False, H=4, D=128, D_k=16, D_v=16, D_inner=128,
+            compute_dtype="float32", eager=False, donate_buffers=False,
+            tasks={"task0": {"id": 0, "name": "metastases",
+                             "act_fn": "sigmoid", "metric": "auc"}}))
+
+    def test_dataset_yields_uint8_tiles(self, e2e_dir):
+        from ips_tpu.data.camelyon.patches import CamelyonPatches
+        ds = CamelyonPatches(self._conf(e2e_dir), train=True)
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["input"].dtype == np.uint8
+        assert item["input"].shape[1:] == (64, 64, 3)
+        assert item["input"].shape[0] in ds.buckets
+        assert item["mask"].sum() > 0
+        assert item["metastases"] in (0, 1)
+
+    def test_train_epoch_streaming_uint8(self, e2e_dir):
+        import jax
+        from ips_tpu.data.camelyon.patches import CamelyonPatches
+        from ips_tpu.data.loader import DataLoader
+        from ips_tpu.train.loop import train_one_epoch
+        from ips_tpu.train.metrics import MetricsLogger
+        from ips_tpu.train.steps import IPSTrainer
+        conf = self._conf(e2e_dir)
+        ds = CamelyonPatches(conf, train=True)
+        loader = DataLoader(ds, batch_size=1, shuffle=False)
+        trainer = IPSTrainer(conf, rng=jax.random.PRNGKey(0))
+        log = MetricsLogger(conf.task_list)
+        train_one_epoch(trainer, loader, 0, log, conf)
+        assert len(log.losses_it["metastases"]) == 1   # one optimizer step
+        assert np.isfinite(log.losses_it["metastases"][0])

@@ -62,3 +62,16 @@ def test_streaming_in_train_loop(tiny_conf):
     log = MetricsLogger(conf.task_list)
     train_one_epoch(trainer, loader, 0, log, conf)
     assert len(log.losses_it["majority"]) == 2
+
+
+def test_bf16_input_dtype_select(tiny_conf):
+    """input_dtype=bfloat16 runs the selection loop in bf16 storage."""
+    conf = tiny_conf.replace(N=12, M=4, I=4, input_dtype="bfloat16")
+    tr = IPSTrainer(conf, rng=jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    patches = jax.random.uniform(rng, (2, 12, 16, 16, 1))
+    mem_patch, mem_pos, mem_idx, mem_mask = tr.select(patches, rng=rng)
+    assert mem_patch.dtype == jnp.bfloat16
+    assert mem_patch.shape == (2, 4, 16, 16, 1)
+    idx = np.asarray(mem_idx)
+    assert (idx >= 0).all() and (idx < 12).all()
