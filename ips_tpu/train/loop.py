@@ -57,18 +57,22 @@ class BatchAssembler:
 
     def reset(self):
         self._patches, self._pos, self._masks = [], [], []
+        self._weights: list = []
         self._labels: Dict[str, list] = {t.name: []
                                          for t in self.conf.task_list}
         self.n_prep = 0
 
-    def add(self, mem_patch, mem_pos, mem_mask, labels):
+    def add(self, mem_patch, mem_pos, mem_mask, labels, row_weights=None):
         self._patches.append(mem_patch)
         if mem_pos is not None:
             self._pos.append(mem_pos)
         self._masks.append(mem_mask)
+        n = mem_patch.shape[0]
+        self._weights.append(np.ones(n, np.float32) if row_weights is None
+                             else np.asarray(row_weights, np.float32))
         for k, v in labels.items():
             self._labels[k].append(v)
-        self.n_prep += mem_patch.shape[0]
+        self.n_prep += n
 
     @property
     def full(self) -> bool:
@@ -85,7 +89,7 @@ class BatchAssembler:
         labels = {k: _pad_axis0(jnp.concatenate(v, axis=0), B)
                   for k, v in self._labels.items()}
         weights = jnp.asarray(
-            np.concatenate([np.ones(n, np.float32),
+            np.concatenate([np.concatenate(self._weights),
                             np.zeros(B - n, np.float32)]))
         self.reset()
         return patch, pos, mask, labels, weights
@@ -110,6 +114,34 @@ def _maybe_log_step(conf: Config, data_it: int, loss, lr: float):
               flush=True)
 
 
+def _pad_loader_batch(conf: Config, batch: Dict[str, np.ndarray]):
+    """Zero-pad a partial last loader batch up to B_seq.
+
+    Keeps every jitted step at ONE compiled shape (the reference instead
+    runs a differently-shaped forward for the last batch,
+    training/iterative.py:52-63 — on TPU that would be a multi-minute
+    recompile). Returns (batch, row_weights); padded rows carry weight 0
+    and an all-False patch mask so they can never contribute to selection,
+    loss, or metrics.
+    """
+    n = batch["input"].shape[0]
+    B_seq = conf.B_seq
+    weights = np.ones(n, np.float32)
+    if n == B_seq:
+        return batch, weights
+    pad = B_seq - n
+    N = batch["input"].shape[1]
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = np.concatenate(
+            [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+    if "mask" not in batch:
+        out["mask"] = np.concatenate(
+            [np.ones((n, N), bool), np.zeros((pad, N), bool)])
+    return out, np.concatenate([weights, np.zeros(pad, np.float32)])
+
+
 def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Config,
                     tracker: Optional[EfficiencyTracker] = None):
     """One training epoch (reference training/iterative.py:103-189)."""
@@ -124,6 +156,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
         is_last = it == steps_per_epoch - 1
         rng = jax.random.fold_in(base_rng, it)
 
+        batch, row_weights = _pad_loader_batch(conf, batch)
         B_seq, N = batch["input"].shape[:2]
         labels = _labels_from_batch(conf, batch)
 
@@ -134,7 +167,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             # Lazy mode: patches stay on host, chunks stream to HBM.
             mem_patch, mem_pos, _, mem_mask = trainer.select_streaming(
                 batch["input"], batch.get("mask"), rng)
-            assembler.add(mem_patch, mem_pos, mem_mask, labels)
+            assembler.add(mem_patch, mem_pos, mem_mask, labels, row_weights)
             if assembler.full or is_last:
                 patch, pos, mmask, lab, weights = assembler.take()
                 data_it_lr = data_it + 1
@@ -160,18 +193,19 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
                                        conf.n_epoch, conf.n_epoch_warmup,
                                        conf.lr)
-            weights = jnp.ones((conf.B,), jnp.float32)
+            weights = jnp.asarray(row_weights)
             loss, task_losses, preds = trainer.fused_step(
                 patches, mask, labels, weights, rng, last_lr)
             tracker.stop((loss, preds), epoch, data_it, is_last)
             _maybe_log_step(conf, data_it, loss, last_lr)
             tl, pr = _to_host(task_losses, preds)
             logger.update(tl, pr, {k: np.asarray(v)
-                                   for k, v in labels.items()})
+                                   for k, v in labels.items()},
+                          weights=row_weights)
             continue
 
         mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask, rng)
-        assembler.add(mem_patch, mem_pos, mem_mask, labels)
+        assembler.add(mem_patch, mem_pos, mem_mask, labels, row_weights)
 
         if assembler.full or is_last:
             patch, pos, mmask, lab, weights = assembler.take()
@@ -200,6 +234,7 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
     for it, batch in enumerate(loader):
         is_last = it == steps_per_epoch - 1
         rng = jax.random.fold_in(base_rng, it)
+        batch, row_weights = _pad_loader_batch(conf, batch)
         labels = _labels_from_batch(conf, batch)
 
         if not conf.eager:
@@ -211,7 +246,7 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
             mask = _batch_mask(batch, B_seq, N)
             mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask,
                                                              rng)
-        assembler.add(mem_patch, mem_pos, mem_mask, labels)
+        assembler.add(mem_patch, mem_pos, mem_mask, labels, row_weights)
 
         if assembler.full or is_last:
             patch, pos, mmask, lab, weights = assembler.take()

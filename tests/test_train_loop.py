@@ -134,3 +134,20 @@ class TestBatchAssembler:
         assert a.full
         patch, _, _, _, w = a.take()
         assert patch.shape[0] == 4 and np.asarray(w).sum() == 4
+
+
+def test_partial_last_loader_batch_padded_fused(overfit_conf):
+    """10 samples, B=B_seq=4: last loader batch (2) is padded up to 4 so
+    the fused step keeps ONE compiled shape; padded rows never reach the
+    logger."""
+    conf = overfit_conf.replace(n_epoch=1)
+    data = SignalPatches(conf, n_samples=10)
+    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=False)
+    trainer = IPSTrainer(conf)
+    log = MetricsLogger(conf.task_list)
+    train_one_epoch(trainer, loader, 0, log, conf)
+    assert len(log.y_trues["majority"]) == 10
+    assert len(log.losses_it["majority"]) == 3
+    # one fused compilation only, despite the ragged tail
+    assert trainer._fused._cache_size() == 1
+    assert trainer._select._cache_size() == 0   # fused path never split
