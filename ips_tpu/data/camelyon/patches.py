@@ -67,7 +67,13 @@ class CamelyonPatches(Dataset):
             rows = rows.iloc[:self.max_tiles]
         ph, pw = self.tile_hw
         n = len(rows)
-        b = self.buckets[bisect_left(self.buckets, n)]
+        bi = bisect_left(self.buckets, n)
+        if bi == len(self.buckets):
+            raise ValueError(
+                f"slide {row['name']} has {n} tiles, exceeding the largest "
+                f"bucket {self.buckets[-1]}; extend conf.bucket_sizes or "
+                "set max_tiles")
+        b = self.buckets[bi]
         tiles = np.zeros((b, ph, pw, 3), np.uint8)
         for k, r in enumerate(rows.itertuples()):
             t = np.asarray(slide.read_region((int(r.x), int(r.y)), self.lvl,

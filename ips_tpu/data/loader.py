@@ -84,6 +84,17 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: List[Optional[BaseException]] = [None]
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices an abandoned consumer
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -93,19 +104,29 @@ class DataLoader:
                             lambda i: self.dataset[int(i)], b))
                         return self.collate_fn(samples)
                     for b in batches:
-                        q.put(load(b))
+                        if not put(load(b)):
+                            return
             except BaseException as e:  # propagate to consumer
                 error[0] = e
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if error[0] is not None:
-            raise error[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if error[0] is not None:
+                raise error[0]
+        finally:
+            # consumer broke out / raised: unblock and stop the producer
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -234,12 +234,16 @@ class TrafficSigns(Dataset):
     """Filtered STS images -> normalized NHWC patches + class label."""
 
     def __init__(self, conf, train: bool = True, allow_download: bool = False):
+        import itertools
         self.patch_size = conf.patch_size
         self.patch_stride = conf.patch_stride
         self.tasks = conf.task_list
         self.train = train
         self.seed = conf.seed
-        self._rng = np.random.default_rng(conf.seed + int(train))
+        # per-__getitem__ generators (a shared np Generator is not
+        # thread-safe under the threaded loader); the counter varies the
+        # augmentation across epochs like the reference's global torch RNG
+        self._draw = itertools.count()
         self._data = filter_sts(STS(conf.data_dir, train, conf.seed,
                                     allow_download=allow_download))
 
@@ -256,8 +260,9 @@ class TrafficSigns(Dataset):
         fpath, category = self._data[i]
         img = self._load_image(fpath)
         if self.train:
-            img = color_jitter(img, self._rng)
-            img = random_translate(img, self._rng)
+            rng = np.random.default_rng([self.seed, i, next(self._draw)])
+            img = color_jitter(img, rng)
+            img = random_translate(img, rng)
         img = (img - IMAGENET_MEAN) / IMAGENET_STD
         patches = patchify(img.astype(np.float32), self.patch_size,
                            self.patch_stride)

@@ -32,7 +32,11 @@ class Predictor:
                  trainer: Optional[IPSTrainer] = None):
         # Inference never shuffles (deterministic, reproducible selection).
         self.conf = conf.replace(shuffle=False, donate_buffers=False)
-        self.trainer = trainer or IPSTrainer(self.conf)
+        self.trainer = IPSTrainer(self.conf)
+        if trainer is not None:
+            # adopt the live trainer's weights; keep OUR deterministic conf
+            # (the trainer's own jits may have shuffle enabled)
+            self.trainer.state = trainer.state
         if checkpoint_dir:
             from ips_tpu.utils.checkpoint import CheckpointManager
             restored = CheckpointManager(checkpoint_dir).restore(self.trainer)

@@ -66,6 +66,7 @@ def run(conf: Config, dataset: str):
 
     ckpt_mgr = None
     start_epoch = 0
+    last_saved = -1
     if conf.checkpoint_dir:
         from ips_tpu.utils.checkpoint import CheckpointManager
         ckpt_mgr = CheckpointManager(conf.checkpoint_dir)
@@ -89,8 +90,9 @@ def run(conf: Config, dataset: str):
         if ckpt_mgr and conf.checkpoint_every and \
                 (epoch + 1) % conf.checkpoint_every == 0:
             ckpt_mgr.save(trainer, epoch + 1)
+            last_saved = epoch + 1
 
-    if ckpt_mgr:
+    if ckpt_mgr and last_saved != conf.n_epoch:
         ckpt_mgr.save(trainer, conf.n_epoch)
     return trainer, log_train, log_test
 

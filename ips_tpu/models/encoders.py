@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ips_tpu.models.norm import MaskedBatchNorm
+
 # torchvision's kaiming_normal_(mode='fan_out', nonlinearity='relu')
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
@@ -36,25 +38,24 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+    def __call__(self, x: jax.Array, train: bool,
+                 row_weights=None) -> jax.Array:
+        norm = lambda name, h: MaskedBatchNorm(name=name)(
+            h, use_running_average=not train, weights=row_weights)
         residual = x
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, kernel_init=_conv_init,
                     dtype=self.dtype, name="conv1")(x)
-        y = norm("bn1")(y)
-        y = jax.nn.relu(y)
+        y = jax.nn.relu(norm("bn1", y))
         y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
                     kernel_init=_conv_init, dtype=self.dtype, name="conv2")(y)
-        y = norm("bn2")(y)
+        y = norm("bn2", y)
         if residual.shape[-1] != self.filters or self.stride != 1:
             residual = nn.Conv(self.filters, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=_conv_init,
                                dtype=self.dtype, name="downsample_conv")(x)
-            residual = norm("downsample_bn")(residual)
+            residual = norm("downsample_bn", residual)
         return jax.nn.relu(y + residual)
 
 
@@ -66,28 +67,28 @@ class BottleneckBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+    def __call__(self, x: jax.Array, train: bool,
+                 row_weights=None) -> jax.Array:
+        norm = lambda name, h: MaskedBatchNorm(name=name)(
+            h, use_running_average=not train, weights=row_weights)
         out_ch = self.width * 4
         residual = x
         y = nn.Conv(self.width, (1, 1), use_bias=False, kernel_init=_conv_init,
                     dtype=self.dtype, name="conv1")(x)
-        y = jax.nn.relu(norm("bn1")(y))
+        y = jax.nn.relu(norm("bn1", y))
         y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, kernel_init=_conv_init,
                     dtype=self.dtype, name="conv2")(y)
-        y = jax.nn.relu(norm("bn2")(y))
+        y = jax.nn.relu(norm("bn2", y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, kernel_init=_conv_init,
                     dtype=self.dtype, name="conv3")(y)
-        y = norm("bn3")(y)
+        y = norm("bn3", y)
         if residual.shape[-1] != out_ch or self.stride != 1:
             residual = nn.Conv(out_ch, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=_conv_init,
                                dtype=self.dtype, name="downsample_conv")(x)
-            residual = norm("downsample_bn")(residual)
+            residual = norm("downsample_bn", residual)
         return jax.nn.relu(y + residual)
 
 
@@ -110,15 +111,17 @@ class ConvPatchEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        """x: (B, H, W, C) -> (B, D_out)."""
+    def __call__(self, x: jax.Array, train: bool,
+                 row_weights=None) -> jax.Array:
+        """x: (B, H, W, C) -> (B, D_out); row_weights (B,) masks padded
+        rows out of the BatchNorm batch statistics."""
         blocks: Sequence[int] = _STAGE_BLOCKS[self.enc_type]
         is_bottleneck = self.enc_type == "resnet50"
 
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
+        y = MaskedBatchNorm(name="bn1")(y, use_running_average=not train,
+                                        weights=row_weights)
         y = jax.nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -128,14 +131,14 @@ class ConvPatchEncoder(nn.Module):
             stride = 1 if stage == 0 else 2
             for b in range(blocks[stage]):
                 name = f"layer{stage + 1}_block{b}"
-                if is_bottleneck:
-                    y = BottleneckBlock(width=width,
-                                        stride=stride if b == 0 else 1,
-                                        dtype=self.dtype, name=name)(y, train)
-                else:
-                    y = BasicBlock(filters=width,
-                                   stride=stride if b == 0 else 1,
-                                   dtype=self.dtype, name=name)(y, train)
+                blk = (BottleneckBlock(width=width,
+                                       stride=stride if b == 0 else 1,
+                                       dtype=self.dtype, name=name)
+                       if is_bottleneck else
+                       BasicBlock(filters=width,
+                                  stride=stride if b == 0 else 1,
+                                  dtype=self.dtype, name=name))
+                y = blk(y, train, row_weights)
 
         # Global average pool (reference appends nn.AdaptiveAvgPool2d(1)).
         return jnp.mean(y, axis=(1, 2)).astype(jnp.float32)
@@ -149,7 +152,8 @@ class FeatureProjector(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool,
+                 row_weights=None) -> jax.Array:
         """x: (B, n_chan_in) -> (B, D)."""
         y = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
                          name="ln")(x)
@@ -158,6 +162,6 @@ class FeatureProjector(nn.Module):
         y = nn.Dense(self.D, kernel_init=torch_linear_init(self.n_chan_in),
                      bias_init=torch_linear_init(self.n_chan_in),
                      dtype=self.dtype, name="fc")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(y)
+        y = MaskedBatchNorm(name="bn")(y, use_running_average=not train,
+                                       weights=row_weights)
         return jax.nn.relu(y).astype(jnp.float32)

@@ -65,18 +65,23 @@ class IPSModel(nn.Module):
         self.heads = heads
 
     # -- pieces used by the selection engine --------------------------------
-    def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def encode(self, x: jax.Array, train: bool = False,
+               weights: Optional[jax.Array] = None) -> jax.Array:
         """Encode patches: (B, n, ph, pw, C) or (B, n, F) -> (B, n, D).
 
         uint8 patches (raw image tiles kept compact in HBM) are scaled to
         [0, 1] here, per chunk — the resident (B, N, ...) tensor stays
         uint8 so selection over raw tiles costs 1/4 the memory of fp32.
+        `weights` (B,) keeps zero-padded instances out of BatchNorm batch
+        statistics during training (see ips_tpu/models/norm.py).
         """
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
         lead = x.shape[:2]
         flat = x.reshape((lead[0] * lead[1],) + x.shape[2:])
-        emb = self.encoder(flat, train=train)
+        row_w = (jnp.repeat(weights, lead[1]) if weights is not None
+                 else None)
+        emb = self.encoder(flat, train=train, row_weights=row_w)
         return emb.reshape(lead + (self.conf.D,))
 
     def scores(self, emb: jax.Array,
@@ -121,8 +126,10 @@ class IPSModel(nn.Module):
     def __call__(self, mem_patch: jax.Array,
                  mem_pos: Optional[jax.Array] = None,
                  mem_mask: Optional[jax.Array] = None,
-                 train: bool = False) -> Dict[str, jax.Array]:
-        emb = self.encode(mem_patch, train=train)
+                 train: bool = False,
+                 weights: Optional[jax.Array] = None
+                 ) -> Dict[str, jax.Array]:
+        emb = self.encode(mem_patch, train=train, weights=weights)
         if mem_pos is not None:
             emb = emb + mem_pos
         image_emb = self.aggregate(emb, mask=mem_mask, train=train)

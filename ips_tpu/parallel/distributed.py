@@ -13,6 +13,7 @@ fleet) setups.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -23,19 +24,26 @@ _initialized = False
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Idempotent jax.distributed.initialize wrapper."""
+    """Idempotent jax.distributed.initialize wrapper.
+
+    MUST run before any other jax call in the process (touching the
+    backend first — even jax.process_count() — would make distributed
+    init impossible), so no jax API is consulted in the guard.
+    """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
-        _initialized = True
-    except (ValueError, RuntimeError):
-        # single-process run without distributed env: fine
-        _initialized = True
+    env_configured = (coordinator_address is not None
+                      or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                      or os.environ.get("COORDINATOR_ADDRESS")
+                      or os.environ.get("TPU_WORKER_HOSTNAMES"))
+    if not env_configured:
+        _initialized = True   # single-process run; nothing to do
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    _initialized = True
 
 
 def global_mesh(data: Optional[int] = None, patch: int = 1):

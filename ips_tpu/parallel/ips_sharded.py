@@ -132,6 +132,9 @@ class ShardedIPSTrainer(IPSTrainer):
         if self.n_cp <= 1:
             return super()._select_impl(params, batch_stats, patches, mask,
                                         rng)
+        import jax.numpy as jnp
+        if conf.input_dtype == "bfloat16" and patches.dtype != jnp.uint8:
+            patches = patches.astype(jnp.bfloat16)
         encode, score = self._enc_score_fns(params, batch_stats)
         res = ips_select_cp(
             encode, score, patches, M=conf.M, I=conf.I, n_shards=self.n_cp,

@@ -87,6 +87,13 @@ class IPSTrainer:
         self.conf = conf
         rng = rng if rng is not None else jax.random.PRNGKey(conf.seed)
         self.model, params, batch_stats = init_ips_model(conf, rng)
+        if conf.is_image and conf.pretrained and not conf.pretrained_path:
+            raise ValueError(
+                "pretrained=True requires pretrained_path: this environment "
+                "cannot download torchvision weights — convert a local "
+                "checkpoint with `python -m ips_tpu.models.pretrained "
+                "resnet.pth weights.npz` and set pretrained_path, or set "
+                "pretrained=false")
         if conf.is_image and conf.pretrained and conf.pretrained_path:
             # ImageNet-style initialization (reference ips_net.py:20-27)
             # from a locally converted checkpoint (no network egress here).
@@ -169,7 +176,7 @@ class IPSTrainer:
         attn_mask = mem_mask if conf.mask_padding else None
         preds, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
-            mem_patch, mem_pos, attn_mask, train=True,
+            mem_patch, mem_pos, attn_mask, train=True, weights=weights,
             rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
         loss, task_losses = compute_task_losses(conf, preds, labels, weights)
         return loss, (task_losses, preds, mutated["batch_stats"])

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ips_tpu.ops.selection import select_top_m
+from ips_tpu.ops.selection import ips_select_streaming_step
 from ips_tpu.ops.shuffle import make_permutation
 
 
@@ -36,15 +36,10 @@ class StreamingSelector:
         def step_fn(params, batch_stats, mem_emb, mem_idx, mem_valid,
                     chunk, chunk_idx, chunk_valid):
             encode, score = trainer._enc_score_fns(params, batch_stats)
-            cand_emb = encode(chunk)
-            all_emb = jnp.concatenate([mem_emb, cand_emb], axis=1)
-            all_idx = jnp.concatenate([mem_idx, chunk_idx], axis=1)
-            all_valid = jnp.concatenate([mem_valid, chunk_valid], axis=1)
-            pos_table = trainer.pos_table
-            emb_to_score = (all_emb + pos_table[all_idx]
-                            if pos_table is not None else all_emb)
-            return select_top_m(all_emb, emb_to_score, all_idx, all_valid,
-                                self.conf.M, score)
+            return ips_select_streaming_step(
+                encode, score, mem_emb, mem_idx, mem_valid, chunk,
+                chunk_idx, chunk_valid, self.conf.M,
+                pos_table=trainer.pos_table)
 
         self._init = jax.jit(init_fn)
         self._step = jax.jit(step_fn)
