@@ -101,6 +101,8 @@ class Config:
     input_dtype: str = "float32"       # patch storage dtype on device;
                                        # 'bfloat16' halves selection-loop HBM
                                        # traffic (measured ~18% faster select)
+    s2d_stem: bool = False             # space-to-depth stem conv: exact same
+                                       # numerics/params, better MXU use
     score_impl: str = "fast"           # 'attn' (reference-shaped), 'fast'
                                        # (query-folded single GEMM), 'pallas'
                                        # (fused kernel); all numerically equal
@@ -117,6 +119,8 @@ class Config:
                                        #  reference training/iterative.py:7-29)
     log_every: int = 0                 # steps between stdout loss logs (0 disables)
     pretrained_path: str = ""          # local .npz with converted pretrained weights
+    profile_dir: str = ""              # write a jax.profiler trace of epoch 0
+                                       # here (TensorBoard/Perfetto); '' disables
 
     def __post_init__(self):
         self.patch_size = _as_tuple2(self.patch_size)

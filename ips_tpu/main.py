@@ -78,8 +78,17 @@ def run(conf: Config, dataset: str):
     tracker = EfficiencyTracker(conf)
 
     for epoch in range(start_epoch, conf.n_epoch):
+        # Optional XLA-level trace of the first epoch
+        # (jax.profiler -> TensorBoard/Perfetto; SURVEY.md §5 tracing).
+        profiling = conf.profile_dir and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(conf.profile_dir)
         lr = train_one_epoch(trainer, train_loader, epoch, log_train, conf,
                              tracker)
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {conf.profile_dir}",
+                  flush=True)
         log_train.compute_metric()
         log_train.print_stats(epoch, train=True, lr=lr)
 

@@ -30,6 +30,54 @@ from ips_tpu.models.norm import MaskedBatchNorm
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class StemConv(nn.Module):
+    """7x7/stride-2 stem conv with an optional space-to-depth formulation.
+
+    The 1-channel stem is the encoder's least MXU-efficient op (measured
+    8.5 TF/s on v5e: contraction depth 7*7*C_in is tiny). With
+    ``s2d=True`` the SAME 7x7 parameter is zero-padded to 8x8 and
+    re-indexed into a 4x4 conv over the 2x2-phase space-to-depth input —
+    numerically identical output (tests/test_encoders.py), 4x the
+    contraction depth, and checkpoints stay interchangeable because the
+    stored kernel is unchanged. Requires even H and W (all shipped
+    workloads: 50, 224, 1200/1600).
+    """
+
+    n_chan_in: int
+    s2d: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", _conv_init,
+                            (7, 7, self.n_chan_in, 64))
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        H, W = x.shape[1:3]
+        if not self.s2d or H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=dn)
+        C = self.n_chan_in
+        n = x.shape[0]
+        # pad 3 -> even (H+6, W+6); 2x2 phases to channels
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        xs = xp.reshape(n, (H + 6) // 2, 2, (W + 6) // 2, 2, C)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, (H + 6) // 2, (W + 6) // 2, 4 * C)
+        # kernel (7,7,C,64) -> zero-pad (8,8) -> (4,4,(p,q,c),64)
+        k8 = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        ks = k8.reshape(4, 2, 4, 2, C, 64).transpose(0, 2, 1, 3, 4, 5)
+        ks = ks.reshape(4, 4, 4 * C, 64)
+        dn2 = jax.lax.conv_dimension_numbers(xs.shape, ks.shape,
+                                             ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            xs, ks, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=dn2)
+
+
 class BasicBlock(nn.Module):
     """ResNet-18/34 residual block (3x3 -> 3x3)."""
 
@@ -108,6 +156,7 @@ class ConvPatchEncoder(nn.Module):
     enc_type: str = "resnet18"
     n_chan_in: int = 3
     n_res_blocks: int = 2      # 2 => stem+layer1+layer2; 4 => all stages
+    s2d_stem: bool = False     # space-to-depth stem (exact, faster on TPU)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,8 +167,8 @@ class ConvPatchEncoder(nn.Module):
         blocks: Sequence[int] = _STAGE_BLOCKS[self.enc_type]
         is_bottleneck = self.enc_type == "resnet50"
 
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
+        y = StemConv(n_chan_in=self.n_chan_in, s2d=self.s2d_stem,
+                     dtype=self.dtype, name="conv1")(x)
         y = MaskedBatchNorm(name="bn1")(y, use_running_average=not train,
                                         weights=row_weights)
         y = jax.nn.relu(y)

@@ -49,7 +49,8 @@ class IPSModel(nn.Module):
                     "relies on these matching (ips_net.py:209-210)")
             self.encoder = ConvPatchEncoder(
                 enc_type=c.enc_type, n_chan_in=c.n_chan_in,
-                n_res_blocks=c.n_res_blocks, dtype=dtype, name="encoder")
+                n_res_blocks=c.n_res_blocks, s2d_stem=c.s2d_stem,
+                dtype=dtype, name="encoder")
         else:
             self.encoder = FeatureProjector(
                 n_chan_in=c.n_chan_in, D=c.D, dtype=dtype, name="encoder")

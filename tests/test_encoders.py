@@ -71,3 +71,41 @@ def test_stem_downsampling():
     variables = m.init(jax.random.PRNGKey(0), x, train=False)
     y = m.apply(variables, x, train=False)
     assert y.shape == (1, 128)
+
+
+class TestStemS2D:
+    """Space-to-depth stem must be numerically identical to the 7x7/s2 conv."""
+
+    @pytest.mark.parametrize("H,W,C", [(50, 50, 1), (32, 48, 3), (224, 224, 3)])
+    def test_exact_equivalence(self, H, W, C):
+        from ips_tpu.models.encoders import StemConv
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, H, W, C))
+        std = StemConv(n_chan_in=C, s2d=False)
+        s2d = StemConv(n_chan_in=C, s2d=True)
+        v = std.init(jax.random.PRNGKey(1), x)
+        a = np.asarray(std.apply(v, x))
+        b = np.asarray(s2d.apply(v, x))       # same params, s2d math
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+    def test_odd_size_falls_back(self):
+        from ips_tpu.models.encoders import StemConv
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 33, 33, 1))
+        s2d = StemConv(n_chan_in=1, s2d=True)
+        v = s2d.init(jax.random.PRNGKey(1), x)
+        out = s2d.apply(v, x)                 # standard path, no crash
+        assert out.shape[-1] == 64
+
+    def test_encoder_with_s2d_same_params_tree(self):
+        m1 = ConvPatchEncoder(enc_type="resnet18", n_chan_in=1,
+                              n_res_blocks=2, s2d_stem=False)
+        m2 = ConvPatchEncoder(enc_type="resnet18", n_chan_in=1,
+                              n_res_blocks=2, s2d_stem=True)
+        x = jnp.zeros((2, 16, 16, 1))
+        v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+        v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+        assert jax.tree_util.tree_structure(v1) == \
+            jax.tree_util.tree_structure(v2)
+        y1 = np.asarray(m1.apply(v1, x, train=False))
+        y2 = np.asarray(m2.apply(v1, x, train=False))  # v1 params in s2d
+        np.testing.assert_allclose(y2, y1, rtol=1e-4, atol=1e-5)
