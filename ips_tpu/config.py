@@ -103,6 +103,10 @@ class Config:
                                        # traffic (measured ~18% faster select)
     s2d_stem: bool = False             # space-to-depth stem conv: exact same
                                        # numerics/params, better MXU use
+    sparse_input: bool = False         # loader ships sparse (idx, val) pairs;
+                                       # patches are densified ON DEVICE —
+                                       # O(nnz) host->HBM traffic instead of
+                                       # O(H*W) (sparse datasets, exact tiling)
     score_impl: str = "fast"           # 'attn' (reference-shaped), 'fast'
                                        # (query-folded single GEMM), 'pallas'
                                        # (fused kernel); all numerically equal
@@ -135,6 +139,8 @@ class Config:
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
         if self.input_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown input_dtype {self.input_dtype!r}")
+        if self.sparse_input and not self.eager:
+            raise ValueError("sparse_input implies eager (on-device) patches")
         if self.use_pallas:
             self.score_impl = "pallas"
         if self.score_impl not in ("attn", "fast", "pallas"):

@@ -124,13 +124,14 @@ def _pad_loader_batch(conf: Config, batch: Dict[str, np.ndarray]):
     and an all-False patch mask so they can never contribute to selection,
     loss, or metrics.
     """
-    n = batch["input"].shape[0]
+    ref_key = "input" if "input" in batch else "input_idx"
+    n = batch[ref_key].shape[0]
     B_seq = conf.B_seq
     weights = np.ones(n, np.float32)
     if n == B_seq:
         return batch, weights
     pad = B_seq - n
-    N = batch["input"].shape[1]
+    N = batch["input"].shape[1] if "input" in batch else conf.N
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
@@ -140,6 +141,19 @@ def _pad_loader_batch(conf: Config, batch: Dict[str, np.ndarray]):
         out["mask"] = np.concatenate(
             [np.ones((n, N), bool), np.zeros((pad, N), bool)])
     return out, np.concatenate([weights, np.zeros(pad, np.float32)])
+
+
+def _resolve_sparse(conf: Config, trainer: IPSTrainer,
+                    batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """sparse_input path: densify (idx, val) into patches ON DEVICE."""
+    if not conf.sparse_input or "input" in batch:
+        return batch
+    hw = tuple(int(v) for v in np.asarray(batch["img_hw"])[0])
+    batch = dict(batch)
+    batch["input"] = trainer.densify(batch.pop("input_idx"),
+                                     batch.pop("input_val"), hw)
+    batch.pop("img_hw", None)
+    return batch
 
 
 def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Config,
@@ -157,6 +171,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
         rng = jax.random.fold_in(base_rng, it)
 
         batch, row_weights = _pad_loader_batch(conf, batch)
+        batch = _resolve_sparse(conf, trainer, batch)
         B_seq, N = batch["input"].shape[:2]
         labels = _labels_from_batch(conf, batch)
 
@@ -235,6 +250,7 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
         is_last = it == steps_per_epoch - 1
         rng = jax.random.fold_in(base_rng, it)
         batch, row_weights = _pad_loader_batch(conf, batch)
+        batch = _resolve_sparse(conf, trainer, batch)
         labels = _labels_from_batch(conf, batch)
 
         if not conf.eager:

@@ -116,6 +116,8 @@ class IPSTrainer:
 
         self._select = jax.jit(self._select_impl)
         self._streaming = None
+        self._densify = jax.jit(self._densify_impl,
+                                static_argnames=("img_hw",))
         donate = (0,) if conf.donate_buffers else ()
         self._train = jax.jit(self._train_impl, donate_argnums=donate)
         self._eval = jax.jit(self._eval_impl)
@@ -158,6 +160,19 @@ class IPSTrainer:
             rng = jax.random.PRNGKey(0)
         return self._select(self.state.params, self.state.batch_stats,
                             patches, mask, rng)
+
+    def _densify_impl(self, flat_idx, values, img_hw):
+        conf = self.conf
+        from ips_tpu.ops.densify import densify_patches
+        out_dtype = (jnp.bfloat16 if conf.input_dtype == "bfloat16"
+                     else jnp.float32)
+        return densify_patches(flat_idx, values, img_hw, conf.patch_size,
+                               n_chan=conf.n_chan_in, out_dtype=out_dtype)
+
+    def densify(self, flat_idx, values, img_hw):
+        """Device-side sparse -> patch tensor (conf.sparse_input path)."""
+        return self._densify(jnp.asarray(flat_idx), jnp.asarray(values),
+                             img_hw=tuple(img_hw))
 
     def select_streaming(self, patches, mask=None, rng=None):
         """Lazy-mode IPS: patches stay in host RAM, chunks stream to HBM
