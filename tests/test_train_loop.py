@@ -151,3 +151,30 @@ def test_partial_last_loader_batch_padded_fused(overfit_conf):
     # one fused compilation only, despite the ragged tail
     assert trainer._fused._cache_size() == 1
     assert trainer._select._cache_size() == 0   # fused path never split
+
+
+def test_mask_padding_attention(overfit_conf):
+    """mask_padding=True must exclude invalid memory slots from the final
+    aggregation attention (reference zero-fills without masking)."""
+    conf_m = overfit_conf.replace(mask_padding=True, n_epoch=1)
+    conf_u = overfit_conf.replace(mask_padding=False, n_epoch=1)
+    rng = jax.random.PRNGKey(0)
+    mem = jax.random.uniform(rng, (4, conf_m.M, 16, 16, 1))
+    mem_mask = jnp.ones((4, conf_m.M), bool).at[:, -2:].set(False)
+    labels = {"majority": jnp.zeros(4, jnp.int32),
+              "multi": jnp.zeros((4, 4), jnp.float32)}
+    w = jnp.ones(4)
+
+    tm = IPSTrainer(conf_m, rng=jax.random.PRNGKey(1))
+    tu = IPSTrainer(conf_u, rng=jax.random.PRNGKey(1))
+    _, _, pm = tm.eval_step(mem, None, mem_mask, labels, w)
+    _, _, pu = tu.eval_step(mem, None, mem_mask, labels, w)
+    # same params, same inputs: only the attention mask differs
+    assert not np.allclose(np.asarray(pm["majority"]),
+                           np.asarray(pu["majority"]))
+    # with an all-true mask both configs agree
+    full = jnp.ones((4, conf_m.M), bool)
+    _, _, pm2 = tm.eval_step(mem, None, full, labels, w)
+    _, _, pu2 = tu.eval_step(mem, None, full, labels, w)
+    np.testing.assert_allclose(np.asarray(pm2["majority"]),
+                               np.asarray(pu2["majority"]), rtol=1e-5)
