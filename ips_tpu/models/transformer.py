@@ -33,19 +33,27 @@ from flax import linen as nn
 NEG_INF = -1e9
 
 
-def pos_enc_1d(D: int, len_seq: int, dtype=jnp.float32) -> jax.Array:
-    """Standard 1-D sin/cos positional table, (len_seq, D).
+def pos_enc_1d_np(D: int, len_seq: int):
+    """Host (numpy) sin/cos positional table, (len_seq, D).
 
     Matches reference transformer.py:6-18 (sin on even dims, cos on odd).
+    Computed on the host so jitted closures embed it as a constant instead
+    of reading a device buffer back at trace time.
     """
+    import numpy as np
     if D % 2 != 0:
         raise ValueError(f"pos_enc_1d needs even D, got {D}")
-    position = jnp.arange(len_seq, dtype=jnp.float32)[:, None]          # (L, 1)
-    div_term = jnp.exp(jnp.arange(0, D, 2, dtype=jnp.float32)
-                       * -(math.log(10000.0) / D))                      # (D/2,)
+    position = np.arange(len_seq, dtype=np.float32)[:, None]            # (L, 1)
+    div_term = np.exp(np.arange(0, D, 2, dtype=np.float32)
+                      * -(math.log(10000.0) / D))                       # (D/2,)
     ang = position * div_term                                           # (L, D/2)
-    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)               # (L, D/2, 2)
-    return pe.reshape(len_seq, D).astype(dtype)
+    pe = np.stack([np.sin(ang), np.cos(ang)], axis=-1)                  # (L, D/2, 2)
+    return pe.reshape(len_seq, D).astype(np.float32)
+
+
+def pos_enc_1d(D: int, len_seq: int, dtype=jnp.float32) -> jax.Array:
+    """Device version of pos_enc_1d_np."""
+    return jnp.asarray(pos_enc_1d_np(D, len_seq), dtype)
 
 
 def torch_linear_init(fan_in: int):

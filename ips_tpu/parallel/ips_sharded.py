@@ -110,8 +110,6 @@ class ShardedIPSTrainer(IPSTrainer):
 
         # Replicate model/optimizer state across the mesh.
         self.state = jax.device_put(self.state, rep)
-        if self.pos_table is not None:
-            self.pos_table = jax.device_put(self.pos_table, rep)
 
         donate = (0,) if conf.donate_buffers else ()
         self._select = jax.jit(
@@ -138,6 +136,6 @@ class ShardedIPSTrainer(IPSTrainer):
         encode, score = self._enc_score_fns(params, batch_stats)
         res = ips_select_cp(
             encode, score, patches, M=conf.M, I=conf.I, n_shards=self.n_cp,
-            pos_table=self.pos_table, mask=mask, rng=rng,
+            pos_table=self._pos_table_const(), mask=mask, rng=rng,
             shuffle=conf.shuffle, shuffle_style=conf.shuffle_style)
         return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask

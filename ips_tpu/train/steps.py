@@ -111,7 +111,11 @@ class IPSTrainer:
         self.state = TrainState(
             params=params, batch_stats=batch_stats,
             opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32))
-        self.pos_table = (pos_enc_1d(conf.D, conf.N)
+        # kept as a HOST constant: jit traces embed it directly instead of
+        # reading a device buffer back at trace time (the remote-TPU
+        # device->host path is slow and can fail mid-trace)
+        from ips_tpu.models.transformer import pos_enc_1d_np
+        self.pos_table = (pos_enc_1d_np(conf.D, conf.N)
                           if conf.use_pos and conf.N > 0 else None)
 
         self._select = jax.jit(self._select_impl)
@@ -138,6 +142,11 @@ class IPSTrainer:
         return encode, score
 
     # -- selection ----------------------------------------------------------
+    def _pos_table_const(self):
+        """Host pos table -> in-trace constant (no device read at trace)."""
+        return (jnp.asarray(self.pos_table) if self.pos_table is not None
+                else None)
+
     def _select_impl(self, params, batch_stats, patches, mask, rng):
         conf = self.conf
         if conf.input_dtype == "bfloat16" and patches.dtype != jnp.uint8:
@@ -147,7 +156,7 @@ class IPSTrainer:
         encode, score = self._enc_score_fns(params, batch_stats)
         res = ips_select(
             encode, score, patches, M=conf.M, I=conf.I,
-            pos_table=self.pos_table, mask=mask, rng=rng,
+            pos_table=self._pos_table_const(), mask=mask, rng=rng,
             shuffle=conf.shuffle, shuffle_style=conf.shuffle_style)
         return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask
 

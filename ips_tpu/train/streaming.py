@@ -39,7 +39,7 @@ class StreamingSelector:
             return ips_select_streaming_step(
                 encode, score, mem_emb, mem_idx, mem_valid, chunk,
                 chunk_idx, chunk_valid, self.conf.M,
-                pos_table=trainer.pos_table)
+                pos_table=trainer._pos_table_const())
 
         self._init = jax.jit(init_fn)
         self._step = jax.jit(step_fn)
@@ -64,7 +64,7 @@ class StreamingSelector:
         if M >= N:
             dev_patch = jnp.asarray(patches)
             idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
-            pos = (jnp.broadcast_to(trainer.pos_table[None, :N],
+            pos = (jnp.broadcast_to(jnp.asarray(trainer.pos_table)[None, :N],
                                     (B, N, conf.D))
                    if trainer.pos_table is not None else None)
             return dev_patch, pos, idx, jnp.asarray(mask_np)
@@ -114,6 +114,6 @@ class StreamingSelector:
 
         mem_idx_np = np.asarray(mem_idx)
         mem_patch = jax.device_put(patches[rows, mem_idx_np])
-        mem_pos = (trainer.pos_table[mem_idx]
+        mem_pos = (jnp.asarray(trainer.pos_table)[mem_idx]
                    if trainer.pos_table is not None else None)
         return mem_patch, mem_pos, mem_idx, mem_valid
