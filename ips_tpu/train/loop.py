@@ -171,6 +171,29 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
         rng = jax.random.fold_in(base_rng, it)
 
         batch, row_weights = _pad_loader_batch(conf, batch)
+
+        # Sparse fast path: densify+select+train in ONE jitted dispatch.
+        if (conf.sparse_input and "input_idx" in batch and conf.eager
+                and conf.B_seq == conf.B):
+            if assembler.n_prep == 0:
+                tracker.start()
+            labels = _labels_from_batch(conf, batch)
+            hw = tuple(int(v) for v in np.asarray(batch["img_hw"])[0])
+            mask = _batch_mask(batch, conf.B, conf.N)
+            last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
+                                       conf.n_epoch, conf.n_epoch_warmup,
+                                       conf.lr)
+            loss, task_losses, preds = trainer.fused_sparse_step(
+                batch["input_idx"], batch["input_val"], hw, mask, labels,
+                jnp.asarray(row_weights), rng, last_lr)
+            tracker.stop((loss, preds), epoch, data_it, is_last)
+            _maybe_log_step(conf, data_it, loss, last_lr)
+            tl, pr = _to_host(task_losses, preds)
+            logger.update(tl, pr,
+                          {k: np.asarray(v) for k, v in labels.items()},
+                          weights=row_weights)
+            continue
+
         batch = _resolve_sparse(conf, trainer, batch)
         B_seq, N = batch["input"].shape[:2]
         labels = _labels_from_batch(conf, batch)

@@ -255,3 +255,26 @@ class IPSTrainer:
             self.state, patches, mask, labels, weights, rng,
             jnp.asarray(lr, jnp.float32))
         return loss, task_losses, preds
+
+    # -- fused sparse select+train: ONE dispatch from (idx, val) pairs ------
+    def _fused_sparse_impl(self, state, flat_idx, values, mask, labels,
+                           weights, rng, lr, img_hw):
+        patches = self._densify_impl(flat_idx, values, img_hw)
+        return self._fused_impl(state, patches, mask, labels, weights, rng,
+                                lr)
+
+    def fused_sparse_step(self, flat_idx, values, img_hw, mask, labels,
+                          weights, rng, lr: float):
+        """Densify + select + train in one jit (sparse_input fast path);
+        a single device dispatch per optimizer step — on remote-attached
+        TPUs the per-call RPC latency dominates small-step training."""
+        if not hasattr(self, "_fused_sparse"):
+            donate = (0,) if self.conf.donate_buffers else ()
+            self._fused_sparse = jax.jit(self._fused_sparse_impl,
+                                         donate_argnums=donate,
+                                         static_argnames=("img_hw",))
+        self.state, loss, task_losses, preds = self._fused_sparse(
+            self.state, jnp.asarray(flat_idx), jnp.asarray(values), mask,
+            labels, weights, rng, jnp.asarray(lr, jnp.float32),
+            img_hw=tuple(img_hw))
+        return loss, task_losses, preds
