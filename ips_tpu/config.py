@@ -125,6 +125,8 @@ class Config:
     pretrained_path: str = ""          # local .npz with converted pretrained weights
     profile_dir: str = ""              # write a jax.profiler trace of epoch 0
                                        # here (TensorBoard/Perfetto); '' disables
+    metrics_path: str = ""             # append per-epoch metrics as JSON lines
+                                       # (observability; reference is stdout-only)
 
     def __post_init__(self):
         self.patch_size = _as_tuple2(self.patch_size)

@@ -91,10 +91,14 @@ def run(conf: Config, dataset: str):
                   flush=True)
         log_train.compute_metric()
         log_train.print_stats(epoch, train=True, lr=lr)
+        if conf.metrics_path:
+            log_train.write_jsonl(conf.metrics_path, epoch, "train", lr=lr)
 
         evaluate(trainer, test_loader, log_test, conf)
         log_test.compute_metric()
         log_test.print_stats(epoch, train=False)
+        if conf.metrics_path:
+            log_test.write_jsonl(conf.metrics_path, epoch, "test")
 
         if ckpt_mgr and conf.checkpoint_every and \
                 (epoch + 1) % conf.checkpoint_every == 0:

@@ -141,3 +141,14 @@ class MetricsLogger:
     def latest(self) -> Dict[str, float]:
         return {t.name: self.metrics[t.name][-1] for t in self.tasks
                 if self.metrics[t.name]}
+
+    def write_jsonl(self, path: str, epoch: int, split: str, **extra):
+        """Append the latest epoch's stats as one JSON line."""
+        import json
+        record = {"epoch": epoch, "split": split}
+        for t in self.tasks:
+            record[f"{t.name}_loss"] = self.losses_epoch[t.name][-1]
+            record[f"{t.name}_{t.metric}"] = self.metrics[t.name][-1]
+        record.update(extra)
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")

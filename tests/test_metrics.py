@@ -109,3 +109,20 @@ class TestLogger:
         log.print_stats(0, train=True, lr=0.01)
         out = capsys.readouterr().out
         assert "accuracy: 1.00000" in out and "lr: 0.01" in out
+
+
+def test_write_jsonl(tmp_path):
+    import json
+    t = [TaskConfig(0, "cls", "softmax", "accuracy")]
+    log = MetricsLogger(t)
+    log.update({"cls": 0.5}, {"cls": np.eye(2)}, {"cls": np.array([0, 1])})
+    log.compute_metric()
+    p = str(tmp_path / "m.jsonl")
+    log.write_jsonl(p, 0, "train", lr=0.01)
+    log.update({"cls": 0.4}, {"cls": np.eye(2)}, {"cls": np.array([0, 1])})
+    log.compute_metric()
+    log.write_jsonl(p, 1, "train", lr=0.02)
+    rows = [json.loads(l) for l in open(p)]
+    assert rows[0] == {"epoch": 0, "split": "train", "cls_loss": 0.5,
+                       "cls_accuracy": 1.0, "lr": 0.01}
+    assert rows[1]["epoch"] == 1 and rows[1]["cls_loss"] == 0.4
