@@ -276,6 +276,18 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
         batch = _resolve_sparse(conf, trainer, batch)
         labels = _labels_from_batch(conf, batch)
 
+        # Fast path: select + eval in one jitted dispatch.
+        if conf.eager and conf.B_seq == conf.B:
+            patches = jnp.asarray(batch["input"])
+            mask = _batch_mask(batch, conf.B, patches.shape[1])
+            loss, task_losses, preds = trainer.fused_eval_step(
+                patches, mask, labels, jnp.asarray(row_weights), rng)
+            tl, pr = _to_host(task_losses, preds)
+            logger.update(tl, pr, {k: np.asarray(v)
+                                   for k, v in labels.items()},
+                          weights=row_weights)
+            continue
+
         if not conf.eager:
             mem_patch, mem_pos, _, mem_mask = trainer.select_streaming(
                 batch["input"], batch.get("mask"), rng)

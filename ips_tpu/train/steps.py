@@ -241,6 +241,20 @@ class IPSTrainer:
         return self._eval(self.state.params, self.state.batch_stats,
                           mem_patch, mem_pos, mem_mask, labels, weights)
 
+    def _fused_eval_impl(self, params, batch_stats, patches, mask, labels,
+                         weights, rng):
+        mem_patch, mem_pos, _, mem_mask = self._select_impl(
+            params, batch_stats, patches, mask, rng)
+        return self._eval_impl(params, batch_stats, mem_patch, mem_pos,
+                               mem_mask, labels, weights)
+
+    def fused_eval_step(self, patches, mask, labels, weights, rng):
+        """Selection + eval forward in one jit (B_seq == B fast path)."""
+        if not hasattr(self, "_fused_eval"):
+            self._fused_eval = jax.jit(self._fused_eval_impl)
+        return self._fused_eval(self.state.params, self.state.batch_stats,
+                                patches, mask, labels, weights, rng)
+
     # -- fused select+train (B_seq == B fast path) --------------------------
     def _fused_impl(self, state: TrainState, patches, mask, labels, weights,
                     rng, lr):
