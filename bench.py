@@ -117,10 +117,21 @@ def main():
     print(f"optimized (bf16, fused): {t_opt * 1e3:.1f} ms/step",
           file=sys.stderr, flush=True)
 
-    # Baseline: measured fp32 split-path; falls back to the recorded
-    # measurement if the flag/file says to skip the extra compiles.
+    # Baseline: fp32 split-path. Measuring it costs two extra multi-minute
+    # remote compiles, so reuse the recorded measurement when present;
+    # --force-baseline re-measures.
     t_base = None
-    if "--skip-baseline" not in sys.argv:
+    have_recorded = False
+    try:
+        with open(BASELINE_FILE) as f:
+            t_base = json.load(f)["baseline_sec_per_step"]
+            have_recorded = True
+            print(f"baseline (recorded): {t_base * 1e3:.1f} ms/step",
+                  file=sys.stderr, flush=True)
+    except OSError:
+        pass
+    if ("--force-baseline" in sys.argv
+            or (not have_recorded and "--skip-baseline" not in sys.argv)):
         try:
             t_base = bench_split(_conf("float32", B))
             print(f"baseline (fp32, split): {t_base * 1e3:.1f} ms/step",
@@ -131,11 +142,7 @@ def main():
         except Exception as e:  # noqa: BLE001 - keep the headline JSON alive
             print(f"baseline measurement failed: {e}", file=sys.stderr)
     if t_base is None:
-        try:
-            with open(BASELINE_FILE) as f:
-                t_base = json.load(f)["baseline_sec_per_step"]
-        except OSError:
-            t_base = t_opt  # no baseline available -> ratio 1.0
+        t_base = t_opt  # no baseline available -> ratio 1.0
 
     patches_per_sec = B * 900 / t_opt
     from ips_tpu.utils.profiling import device_peak_bytes
