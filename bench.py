@@ -67,15 +67,28 @@ def _batch(conf, rng):
     return patches, mask, labels, weights
 
 
-def _time_steps(fn, n_warmup: int, n_iter: int) -> float:
-    """Mean seconds per call after warmup."""
+def _sync(out) -> float:
+    """True synchronization: a device->host value read cannot complete
+    before the computation (the experimental remote backend has been
+    observed returning early from block_until_ready)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jax.numpy.ravel(leaf)[0])
+
+
+def _time_steps(fn, n_warmup: int, n_iter: int, n_groups: int = 3) -> float:
+    """Median over groups of mean seconds per call (robust to one-off
+    scheduler hiccups on the remote-attached device)."""
+    import statistics
     for _ in range(n_warmup):
-        jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iter
+        _sync(fn())
+    groups = []
+    for _ in range(n_groups):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn()
+        _sync(out)
+        groups.append((time.perf_counter() - t0) / n_iter)
+    return statistics.median(groups)
 
 
 def bench_fused(conf, n_warmup=2, n_iter=8) -> float:

@@ -43,7 +43,10 @@ class EfficiencyTracker:
         """Record elapsed ms for one optimizer batch (sync on outputs)."""
         if not self.enabled:
             return
-        jax.block_until_ready(outputs)
+        # sync via a host value read — remote/experimental backends have
+        # been observed returning early from block_until_ready
+        leaf = jax.tree_util.tree_leaves(outputs)[0]
+        float(jax.numpy.ravel(leaf)[0])
         elapsed_ms = (time.perf_counter() - self._t0) * 1000.0
         if epoch == self.track_epoch and data_it > 0 and not is_last_batch:
             self.times.append(elapsed_ms)
