@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import threading
 from bisect import bisect_left
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

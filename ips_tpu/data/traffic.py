@@ -21,7 +21,7 @@ from __future__ import annotations
 import hashlib
 import os
 from os import path
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import numpy as np
 

@@ -26,14 +26,12 @@ so every step compiles exactly once.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ips_tpu.config import Config
 from ips_tpu.models.ips_net import IPSModel, init_ips_model
