@@ -67,12 +67,9 @@ def _batch(conf, rng):
     return patches, mask, labels, weights
 
 
-def _sync(out) -> float:
-    """True synchronization: a device->host value read cannot complete
-    before the computation (the experimental remote backend has been
-    observed returning early from block_until_ready)."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jax.numpy.ravel(leaf)[0])
+def _sync(out) -> None:
+    from ips_tpu.utils.profiling import host_sync
+    host_sync(out)
 
 
 def _time_steps(fn, n_warmup: int, n_iter: int, n_groups: int = 3) -> float:
@@ -141,8 +138,8 @@ def main():
             have_recorded = True
             print(f"baseline (recorded): {t_base * 1e3:.1f} ms/step",
                   file=sys.stderr, flush=True)
-    except OSError:
-        pass
+    except (OSError, ValueError, KeyError):
+        t_base = None   # missing/corrupt recording: fall through to measure
     if ("--force-baseline" in sys.argv
             or (not have_recorded and "--skip-baseline" not in sys.argv)):
         try:

@@ -156,6 +156,16 @@ def _resolve_sparse(conf: Config, trainer: IPSTrainer,
     return batch
 
 
+def _log_train_step(conf, tracker, logger, epoch, data_it, is_last, lr,
+                    loss, task_losses, preds, labels, weights):
+    """Shared post-step bookkeeping: tracker, optional step log, metrics."""
+    tracker.stop((loss, preds), epoch, data_it, is_last)
+    _maybe_log_step(conf, data_it, loss, lr)
+    tl, pr = _to_host(task_losses, preds)
+    logger.update(tl, pr, {k: np.asarray(v) for k, v in labels.items()},
+                  weights=np.asarray(weights))
+
+
 def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Config,
                     tracker: Optional[EfficiencyTracker] = None):
     """One training epoch (reference training/iterative.py:103-189)."""
@@ -175,8 +185,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
         # Sparse fast path: densify+select+train in ONE jitted dispatch.
         if (conf.sparse_input and "input_idx" in batch and conf.eager
                 and conf.B_seq == conf.B):
-            if assembler.n_prep == 0:
-                tracker.start()
+            tracker.start()
             labels = _labels_from_batch(conf, batch)
             hw = tuple(int(v) for v in np.asarray(batch["img_hw"])[0])
             mask = _batch_mask(batch, conf.B, conf.N)
@@ -186,12 +195,9 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             loss, task_losses, preds = trainer.fused_sparse_step(
                 batch["input_idx"], batch["input_val"], hw, mask, labels,
                 jnp.asarray(row_weights), rng, last_lr)
-            tracker.stop((loss, preds), epoch, data_it, is_last)
-            _maybe_log_step(conf, data_it, loss, last_lr)
-            tl, pr = _to_host(task_losses, preds)
-            logger.update(tl, pr,
-                          {k: np.asarray(v) for k, v in labels.items()},
-                          weights=row_weights)
+            _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
+                            last_lr, loss, task_losses, preds, labels,
+                            row_weights)
             continue
 
         batch = _resolve_sparse(conf, trainer, batch)
@@ -215,12 +221,9 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
                 loss, task_losses, preds = trainer.train_step(
                     patch, pos, mmask, lab, weights,
                     jax.random.fold_in(rng, 1), last_lr)
-                tracker.stop((loss, preds), epoch, data_it, is_last)
-                _maybe_log_step(conf, data_it, loss, last_lr)
-                tl, pr = _to_host(task_losses, preds)
-                logger.update(tl, pr,
-                              {k: np.asarray(v) for k, v in lab.items()},
-                              weights=np.asarray(weights))
+                _log_train_step(conf, tracker, logger, epoch, data_it,
+                                is_last, last_lr, loss, task_losses, preds,
+                                lab, weights)
             continue
 
         patches = jnp.asarray(batch["input"])
@@ -234,12 +237,9 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             weights = jnp.asarray(row_weights)
             loss, task_losses, preds = trainer.fused_step(
                 patches, mask, labels, weights, rng, last_lr)
-            tracker.stop((loss, preds), epoch, data_it, is_last)
-            _maybe_log_step(conf, data_it, loss, last_lr)
-            tl, pr = _to_host(task_losses, preds)
-            logger.update(tl, pr, {k: np.asarray(v)
-                                   for k, v in labels.items()},
-                          weights=row_weights)
+            _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
+                            last_lr, loss, task_losses, preds, labels,
+                            row_weights)
             continue
 
         mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask, rng)
@@ -253,11 +253,8 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             loss, task_losses, preds = trainer.train_step(
                 patch, pos, mmask, lab, weights,
                 jax.random.fold_in(rng, 1), last_lr)
-            tracker.stop((loss, preds), epoch, data_it, is_last)
-            _maybe_log_step(conf, data_it, loss, last_lr)
-            tl, pr = _to_host(task_losses, preds)
-            logger.update(tl, pr, {k: np.asarray(v) for k, v in lab.items()},
-                          weights=np.asarray(weights))
+            _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
+                            last_lr, loss, task_losses, preds, lab, weights)
 
     tracker.finish_epoch(epoch)
     return last_lr

@@ -35,7 +35,7 @@ from flax import struct
 
 from ips_tpu.config import Config
 from ips_tpu.models.ips_net import IPSModel, init_ips_model
-from ips_tpu.models.transformer import pos_enc_1d
+from ips_tpu.models.transformer import pos_enc_1d_np
 from ips_tpu.ops.selection import ips_select
 
 
@@ -112,7 +112,6 @@ class IPSTrainer:
         # kept as a HOST constant: jit traces embed it directly instead of
         # reading a device buffer back at trace time (the remote-TPU
         # device->host path is slow and can fail mid-trace)
-        from ips_tpu.models.transformer import pos_enc_1d_np
         self.pos_table = (pos_enc_1d_np(conf.D, conf.N)
                           if conf.use_pos and conf.N > 0 else None)
 

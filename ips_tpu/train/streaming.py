@@ -64,8 +64,8 @@ class StreamingSelector:
         if M >= N:
             dev_patch = jnp.asarray(patches)
             idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
-            pos = (jnp.broadcast_to(jnp.asarray(trainer.pos_table)[None, :N],
-                                    (B, N, conf.D))
+            pos = (jax.device_put(np.broadcast_to(
+                       trainer.pos_table[None, :N], (B, N, conf.D)))
                    if trainer.pos_table is not None else None)
             return dev_patch, pos, idx, jnp.asarray(mask_np)
 
@@ -114,6 +114,7 @@ class StreamingSelector:
 
         mem_idx_np = np.asarray(mem_idx)
         mem_patch = jax.device_put(patches[rows, mem_idx_np])
-        mem_pos = (jnp.asarray(trainer.pos_table)[mem_idx]
+        # gather on the host: ships (B, M, D) instead of the full (N, D) table
+        mem_pos = (jax.device_put(trainer.pos_table[mem_idx_np])
                    if trainer.pos_table is not None else None)
         return mem_patch, mem_pos, mem_idx, mem_valid

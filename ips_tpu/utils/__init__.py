@@ -1,1 +1,2 @@
-from ips_tpu.utils.profiling import EfficiencyTracker, device_peak_bytes  # noqa: F401
+from ips_tpu.utils.profiling import (EfficiencyTracker, device_peak_bytes,  # noqa: F401
+                                     host_sync)

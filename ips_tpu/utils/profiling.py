@@ -20,6 +20,14 @@ from typing import List, Optional
 import jax
 
 
+def host_sync(outputs) -> None:
+    """True device synchronization: read one value back to the host —
+    experimental/remote backends have been observed returning early from
+    jax.block_until_ready."""
+    leaf = jax.tree_util.tree_leaves(outputs)[0]
+    float(jax.numpy.ravel(leaf)[0])
+
+
 def device_peak_bytes(device=None) -> Optional[int]:
     device = device or jax.local_devices()[0]
     stats = getattr(device, "memory_stats", lambda: None)()
@@ -43,10 +51,7 @@ class EfficiencyTracker:
         """Record elapsed ms for one optimizer batch (sync on outputs)."""
         if not self.enabled:
             return
-        # sync via a host value read — remote/experimental backends have
-        # been observed returning early from block_until_ready
-        leaf = jax.tree_util.tree_leaves(outputs)[0]
-        float(jax.numpy.ravel(leaf)[0])
+        host_sync(outputs)
         elapsed_ms = (time.perf_counter() - self._t0) * 1000.0
         if epoch == self.track_epoch and data_it > 0 and not is_last_batch:
             self.times.append(elapsed_ms)
