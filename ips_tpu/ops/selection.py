@@ -84,7 +84,8 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
                mask: Optional[jax.Array] = None,
                rng: Optional[jax.Array] = None, shuffle: bool = False,
                shuffle_style: str = "batch",
-               return_emb: bool = False) -> SelectionResult:
+               return_emb: bool = False,
+               prepermute: Optional[bool] = None) -> SelectionResult:
     """Iterative Patch Selection over a resident (eager) patch tensor.
 
     Args:
@@ -125,17 +126,33 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
         perm_valid = jnp.concatenate(
             [perm_valid, jnp.zeros((B, n_pad), dtype=bool)], axis=1)
 
+    # Optional: physically permute once and slice chunks contiguously
+    # instead of gathering per iteration. Semantically identical (tested);
+    # measured NEUTRAL on v5e at N<=7200 (XLA overlaps the in-scan gathers
+    # with compute), so it stays off unless requested — it may pay on
+    # hardware where gathers are not hidden, at the cost of one extra
+    # (B, N, ...) HBM copy.
+    if prepermute is None:
+        prepermute = False
+    patches_seq = _gather_patches(patches, perm) if prepermute else None
+
+    def chunk_patches(idx, start):
+        if prepermute:
+            return jax.lax.dynamic_slice_in_dim(patches_seq, start,
+                                                idx.shape[1], axis=1)
+        return _gather_patches(patches, idx)
+
     # Init buffer with the first M (post-shuffle) patches
     # (reference ips_net.py:203-214).
     init_idx = perm[:, :M]
     init_valid = perm_valid[:, :M]
-    init_emb = encode_fn(_gather_patches(patches, init_idx))
+    init_emb = encode_fn(chunk_patches(init_idx, 0))
 
     def body(carry, start):
         mem_emb, mem_idx, mem_valid = carry
         cand_idx = jax.lax.dynamic_slice_in_dim(perm, start, I, axis=1)
         cand_valid = jax.lax.dynamic_slice_in_dim(perm_valid, start, I, axis=1)
-        cand_emb = encode_fn(_gather_patches(patches, cand_idx))
+        cand_emb = encode_fn(chunk_patches(cand_idx, start))
 
         all_emb = jnp.concatenate([mem_emb, cand_emb], axis=1)
         all_idx = jnp.concatenate([mem_idx, cand_idx], axis=1)

@@ -219,3 +219,32 @@ def test_no_gradient_through_selection():
 
     g = jax.grad(loss)(jnp.float32(1.0))
     assert float(g) == 0.0
+
+
+class TestPrepermute:
+    def test_equivalent_to_gather_path(self):
+        for seed in range(3):
+            rng = jax.random.PRNGKey(seed)
+            patches = jax.random.uniform(rng, (2, 23, 3))
+            kw = dict(M=4, I=5, rng=rng, shuffle=True,
+                      shuffle_style="instance")
+            a = ips_select(_value_encode, _value_score, patches,
+                           prepermute=False, **kw)
+            b = ips_select(_value_encode, _value_score, patches,
+                           prepermute=True, **kw)
+            np.testing.assert_array_equal(np.asarray(a.mem_idx),
+                                          np.asarray(b.mem_idx))
+            np.testing.assert_allclose(np.asarray(a.mem_patch),
+                                       np.asarray(b.mem_patch))
+
+    def test_equivalent_with_mask_and_pos(self):
+        pos = jnp.arange(20, dtype=jnp.float32)[:, None].repeat(2, 1) * 0.1
+        mask = jnp.arange(20)[None, :].repeat(2, 0) < 15
+        a = ips_select(_value_encode, _value_score, _vals(2, 20), M=3, I=4,
+                       pos_table=pos, mask=mask, prepermute=False)
+        b = ips_select(_value_encode, _value_score, _vals(2, 20), M=3, I=4,
+                       pos_table=pos, mask=mask, prepermute=True)
+        np.testing.assert_array_equal(np.asarray(a.mem_idx),
+                                      np.asarray(b.mem_idx))
+        np.testing.assert_allclose(np.asarray(a.mem_pos),
+                                   np.asarray(b.mem_pos))
