@@ -25,3 +25,23 @@ def test_dryrun_multichip_8():
 def test_dryrun_multichip_odd():
     import __graft_entry__ as g
     g.dryrun_multichip(5)   # falls back to pure DP
+
+
+def test_dryrun_multichip_bare_subprocess():
+    """Driver-faithful invocation: a bare interpreter with ONE ambient
+    device must self-provision the virtual CPU mesh (round-1 failure:
+    MULTICHIP_r01.json rc=1 because the entry relied on conftest's mesh).
+    """
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"      # parent sees 1 CPU device, not 8
+    env.pop("_IPS_DRYRUN_CHILD", None)
+    code = ("from __graft_entry__ import dryrun_multichip; "
+            "dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
