@@ -54,6 +54,18 @@ def build_loaders(conf: Config, train_data, test_data):
     return train_loader, test_loader
 
 
+def build_trainer(conf: Config):
+    """Single-device IPSTrainer, or ShardedIPSTrainer when the config
+    asks for a device mesh (mesh_data x mesh_patch > 1) — the multi-chip
+    replacement for the reference's single-GPU pin (reference
+    main.py:19-20)."""
+    rng = jax.random.PRNGKey(conf.seed)
+    if conf.mesh_data * conf.mesh_patch > 1:
+        from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer
+        return ShardedIPSTrainer(conf, rng=rng)
+    return IPSTrainer(conf, rng=rng)
+
+
 def run(conf: Config, dataset: str):
     np.random.seed(conf.seed)
     print("Used config:")
@@ -62,7 +74,7 @@ def run(conf: Config, dataset: str):
     train_data, test_data = build_datasets(conf, dataset)
     train_loader, test_loader = build_loaders(conf, train_data, test_data)
 
-    trainer = IPSTrainer(conf, rng=jax.random.PRNGKey(conf.seed))
+    trainer = build_trainer(conf)
 
     ckpt_mgr = None
     start_epoch = 0

@@ -102,11 +102,26 @@ class ShardedIPSTrainer(IPSTrainer):
         self.mesh = mesh if mesh is not None else make_mesh(
             conf.mesh_data, conf.mesh_patch)
         self.n_cp = self.mesh.shape[PATCH_AXIS]
+        n_dp = self.mesh.shape[DATA_AXIS]
+        if conf.B % n_dp or conf.B_seq % n_dp:
+            raise ValueError(
+                f"B={conf.B} and B_seq={conf.B_seq} must be multiples of "
+                f"the data mesh axis ({n_dp})")
+        if self.n_cp > 1:
+            if conf.N % self.n_cp:
+                raise ValueError(
+                    f"N={conf.N} must be divisible by the patch mesh axis "
+                    f"({self.n_cp})")
+            if conf.M >= conf.N // self.n_cp:
+                raise ValueError(
+                    f"context parallelism needs M < N/mesh_patch "
+                    f"(M={conf.M}, N/mesh_patch={conf.N // self.n_cp})")
         super().__init__(conf, rng)
 
         rep = NamedSharding(self.mesh, P())
         dat = NamedSharding(self.mesh, P(DATA_AXIS))
         datp = NamedSharding(self.mesh, P(DATA_AXIS, PATCH_AXIS))
+        self._shardings = (rep, dat, datp)
 
         # Replicate model/optimizer state across the mesh.
         self.state = jax.device_put(self.state, rep)
@@ -124,6 +139,35 @@ class ShardedIPSTrainer(IPSTrainer):
         self._fused = jax.jit(
             self._fused_impl, donate_argnums=donate,
             in_shardings=(rep, datp, datp, dat, dat, rep, rep))
+
+    # -- device placement (loop.py hook) ------------------------------------
+    def put_batch(self, tree, patch_dim=None):
+        """Shard a loader-batch pytree: dim 0 over `data`, patch_dim over
+        `patch` — transfers land directly in the jitted steps' layout."""
+        from ips_tpu.parallel.mesh import shard_batch
+        return shard_batch(self.mesh, tree, patch_dim)
+
+    def _stream_sharding(self, ndim: int):
+        """Streamed chunks are sharded over the data axis (CP streams are
+        single-device per shard; the scan itself stays local)."""
+        from ips_tpu.parallel.mesh import batch_spec
+        return NamedSharding(self.mesh, batch_spec(ndim))
+
+    # -- sharded jit factories for the lazily-built fused paths -------------
+    def _jit_fused_eval(self):
+        rep, dat, datp = self._shardings
+        return jax.jit(self._fused_eval_impl,
+                       in_shardings=(rep, rep, datp, datp, dat, dat, rep))
+
+    def _jit_fused_sparse(self):
+        rep, dat, datp = self._shardings
+        donate = (0,) if self.conf.donate_buffers else ()
+        # flat_idx/values are (B, nnz): data-sharded; the densified patch
+        # tensor inherits the (data, patch) layout inside the jit.
+        return jax.jit(self._fused_sparse_impl, donate_argnums=donate,
+                       static_argnames=("img_hw",),
+                       in_shardings=(rep, dat, dat, datp, dat, dat, rep,
+                                     rep))
 
     def _select_impl(self, params, batch_stats, patches, mask, rng):
         conf = self.conf

@@ -156,6 +156,19 @@ def _resolve_sparse(conf: Config, trainer: IPSTrainer,
     return batch
 
 
+def _put_select(trainer, patches, mask):
+    """Place selection inputs: (B, N, ...) sharded (data, patch) on a mesh."""
+    out = trainer.put_batch({"p": patches, "m": mask}, patch_dim=1)
+    return out["p"], out["m"]
+
+
+def _put_train(trainer, patch, pos, mmask, labels, weights):
+    """Place an assembled (B, M, ...) train/eval batch (data axis only)."""
+    out = trainer.put_batch({"patch": patch, "pos": pos, "mask": mmask,
+                             "labels": labels, "w": weights})
+    return out["patch"], out["pos"], out["mask"], out["labels"], out["w"]
+
+
 def _log_train_step(conf, tracker, logger, epoch, data_it, is_last, lr,
                     loss, task_losses, preds, labels, weights):
     """Shared post-step bookkeeping: tracker, optional step log, metrics."""
@@ -192,9 +205,14 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
                                        conf.n_epoch, conf.n_epoch_warmup,
                                        conf.lr)
+            put = trainer.put_batch({"idx": batch["input_idx"],
+                                     "val": batch["input_val"],
+                                     "labels": labels,
+                                     "w": jnp.asarray(row_weights)})
+            mask = trainer.put_batch({"m": mask}, patch_dim=1)["m"]
             loss, task_losses, preds = trainer.fused_sparse_step(
-                batch["input_idx"], batch["input_val"], hw, mask, labels,
-                jnp.asarray(row_weights), rng, last_lr)
+                put["idx"], put["val"], hw, mask, put["labels"],
+                put["w"], rng, last_lr)
             _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
                             last_lr, loss, task_losses, preds, labels,
                             row_weights)
@@ -213,7 +231,8 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
                 batch["input"], batch.get("mask"), rng)
             assembler.add(mem_patch, mem_pos, mem_mask, labels, row_weights)
             if assembler.full or is_last:
-                patch, pos, mmask, lab, weights = assembler.take()
+                patch, pos, mmask, lab, weights = _put_train(
+                    trainer, *assembler.take())
                 data_it_lr = data_it + 1
                 last_lr = warmup_cosine_lr(data_it_lr, steps_per_epoch,
                                            conf.n_epoch, conf.n_epoch_warmup,
@@ -226,17 +245,18 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
                                 lab, weights)
             continue
 
-        patches = jnp.asarray(batch["input"])
-        mask = _batch_mask(batch, B_seq, N)
+        patches, mask = _put_select(trainer, jnp.asarray(batch["input"]),
+                                    _batch_mask(batch, B_seq, N))
 
         # Fast path: loader batch == optimizer batch, fused select+train.
         if conf.B_seq == conf.B and B_seq == conf.B:
             last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
                                        conf.n_epoch, conf.n_epoch_warmup,
                                        conf.lr)
-            weights = jnp.asarray(row_weights)
+            put = trainer.put_batch({"labels": labels,
+                                     "w": jnp.asarray(row_weights)})
             loss, task_losses, preds = trainer.fused_step(
-                patches, mask, labels, weights, rng, last_lr)
+                patches, mask, put["labels"], put["w"], rng, last_lr)
             _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
                             last_lr, loss, task_losses, preds, labels,
                             row_weights)
@@ -246,7 +266,8 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
         assembler.add(mem_patch, mem_pos, mem_mask, labels, row_weights)
 
         if assembler.full or is_last:
-            patch, pos, mmask, lab, weights = assembler.take()
+            patch, pos, mmask, lab, weights = _put_train(
+                trainer, *assembler.take())
             last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
                                        conf.n_epoch, conf.n_epoch_warmup,
                                        conf.lr)
@@ -276,9 +297,13 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
         # Fast path: select + eval in one jitted dispatch.
         if conf.eager and conf.B_seq == conf.B:
             patches = jnp.asarray(batch["input"])
-            mask = _batch_mask(batch, conf.B, patches.shape[1])
+            patches, mask = _put_select(
+                trainer, patches, _batch_mask(batch, conf.B,
+                                              patches.shape[1]))
+            put = trainer.put_batch({"labels": labels,
+                                     "w": jnp.asarray(row_weights)})
             loss, task_losses, preds = trainer.fused_eval_step(
-                patches, mask, labels, jnp.asarray(row_weights), rng)
+                patches, mask, put["labels"], put["w"], rng)
             tl, pr = _to_host(task_losses, preds)
             logger.update(tl, pr, {k: np.asarray(v)
                                    for k, v in labels.items()},
@@ -291,13 +316,15 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
         else:
             patches = jnp.asarray(batch["input"])
             B_seq, N = patches.shape[:2]
-            mask = _batch_mask(batch, B_seq, N)
+            patches, mask = _put_select(trainer, patches,
+                                        _batch_mask(batch, B_seq, N))
             mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask,
                                                              rng)
         assembler.add(mem_patch, mem_pos, mem_mask, labels, row_weights)
 
         if assembler.full or is_last:
-            patch, pos, mmask, lab, weights = assembler.take()
+            patch, pos, mmask, lab, weights = _put_train(
+                trainer, *assembler.take())
             loss, task_losses, preds = trainer.eval_step(
                 patch, pos, mmask, lab, weights)
             tl, pr = _to_host(task_losses, preds)

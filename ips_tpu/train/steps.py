@@ -124,6 +124,21 @@ class IPSTrainer:
         self._eval = jax.jit(self._eval_impl)
         self._fused = jax.jit(self._fused_impl, donate_argnums=donate)
 
+    # -- device placement ---------------------------------------------------
+    def put_batch(self, tree, patch_dim=None):
+        """Device-placement hook for loader batches.
+
+        Single-device trainers let jit place inputs; ShardedIPSTrainer
+        overrides this to shard dim 0 over the `data` mesh axis (and
+        `patch_dim` over `patch`) so host->device transfers land directly
+        in their final layout.
+        """
+        return tree
+
+    def _stream_sharding(self, ndim: int):
+        """Sharding for streamed selection chunks (None = default device)."""
+        return None
+
     # -- closures over apply ------------------------------------------------
     def _enc_score_fns(self, params, batch_stats):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -245,10 +260,14 @@ class IPSTrainer:
         return self._eval_impl(params, batch_stats, mem_patch, mem_pos,
                                mem_mask, labels, weights)
 
+    def _jit_fused_eval(self):
+        """jit factory for the fused eval step (overridden under a mesh)."""
+        return jax.jit(self._fused_eval_impl)
+
     def fused_eval_step(self, patches, mask, labels, weights, rng):
         """Selection + eval forward in one jit (B_seq == B fast path)."""
         if not hasattr(self, "_fused_eval"):
-            self._fused_eval = jax.jit(self._fused_eval_impl)
+            self._fused_eval = self._jit_fused_eval()
         return self._fused_eval(self.state.params, self.state.batch_stats,
                                 patches, mask, labels, weights, rng)
 
@@ -268,6 +287,16 @@ class IPSTrainer:
         return loss, task_losses, preds
 
     # -- fused sparse select+train: ONE dispatch from (idx, val) pairs ------
+    def _jit_fused_sparse(self):
+        """jit factory for the fused sparse step (overridden under a mesh).
+
+        img_hw is a positional static arg (index 8): pjit rejects kwargs
+        when in_shardings are given (the sharded override needs them).
+        """
+        donate = (0,) if self.conf.donate_buffers else ()
+        return jax.jit(self._fused_sparse_impl, donate_argnums=donate,
+                       static_argnums=(8,))
+
     def _fused_sparse_impl(self, state, flat_idx, values, mask, labels,
                            weights, rng, lr, img_hw):
         patches = self._densify_impl(flat_idx, values, img_hw)
@@ -280,12 +309,9 @@ class IPSTrainer:
         a single device dispatch per optimizer step — on remote-attached
         TPUs the per-call RPC latency dominates small-step training."""
         if not hasattr(self, "_fused_sparse"):
-            donate = (0,) if self.conf.donate_buffers else ()
-            self._fused_sparse = jax.jit(self._fused_sparse_impl,
-                                         donate_argnums=donate,
-                                         static_argnames=("img_hw",))
+            self._fused_sparse = self._jit_fused_sparse()
         self.state, loss, task_losses, preds = self._fused_sparse(
             self.state, jnp.asarray(flat_idx), jnp.asarray(values), mask,
             labels, weights, rng, jnp.asarray(lr, jnp.float32),
-            img_hw=tuple(img_hw))
+            tuple(img_hw))
         return loss, task_losses, preds

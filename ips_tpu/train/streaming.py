@@ -44,6 +44,11 @@ class StreamingSelector:
         self._init = jax.jit(init_fn)
         self._step = jax.jit(step_fn)
 
+    def _put(self, x):
+        """device_put honoring the trainer's mesh (data-axis sharding)."""
+        s = self.trainer._stream_sharding(np.ndim(x))
+        return jax.device_put(x, s) if s is not None else jax.device_put(x)
+
     def select(self, patches: np.ndarray, mask: Optional[np.ndarray] = None,
                rng: Optional[jax.Array] = None
                ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array,
@@ -62,12 +67,12 @@ class StreamingSelector:
 
         # Shortcut parity with the scan engine (reference ips_net.py:184-188).
         if M >= N:
-            dev_patch = jnp.asarray(patches)
+            dev_patch = self._put(np.asarray(patches))
             idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
-            pos = (jax.device_put(np.broadcast_to(
+            pos = (self._put(np.broadcast_to(
                        trainer.pos_table[None, :N], (B, N, conf.D)))
                    if trainer.pos_table is not None else None)
-            return dev_patch, pos, idx, jnp.asarray(mask_np)
+            return dev_patch, pos, idx, self._put(mask_np)
 
         # Same permutation semantics as the fused engine (tiny, device ok).
         perm = np.asarray(make_permutation(
@@ -91,30 +96,28 @@ class StreamingSelector:
         # init buffer = first M (post-shuffle) patches
         init_np, init_idx, init_valid = host_chunk(0, M)
         mem_emb = self._init(state.params, state.batch_stats,
-                             jax.device_put(init_np))
-        mem_idx = jax.device_put(init_idx)
-        mem_valid = jax.device_put(init_valid)
+                             self._put(init_np))
+        mem_idx = self._put(init_idx)
+        mem_valid = self._put(init_valid)
 
         starts = list(range(M, N, I))
         # double buffer: next chunk's transfer starts before we block
         next_dev = None
         if starts:
             c, ci, cv = host_chunk(starts[0], I)
-            next_dev = (jax.device_put(c), jax.device_put(ci),
-                        jax.device_put(cv))
+            next_dev = (self._put(c), self._put(ci), self._put(cv))
         for k, start in enumerate(starts):
             cur = next_dev
             if k + 1 < len(starts):
                 c, ci, cv = host_chunk(starts[k + 1], I)
-                next_dev = (jax.device_put(c), jax.device_put(ci),
-                            jax.device_put(cv))
+                next_dev = (self._put(c), self._put(ci), self._put(cv))
             mem_emb, mem_idx, mem_valid = self._step(
                 state.params, state.batch_stats, mem_emb, mem_idx,
                 mem_valid, *cur)
 
         mem_idx_np = np.asarray(mem_idx)
-        mem_patch = jax.device_put(patches[rows, mem_idx_np])
+        mem_patch = self._put(patches[rows, mem_idx_np])
         # gather on the host: ships (B, M, D) instead of the full (N, D) table
-        mem_pos = (jax.device_put(trainer.pos_table[mem_idx_np])
+        mem_pos = (self._put(trainer.pos_table[mem_idx_np])
                    if trainer.pos_table is not None else None)
         return mem_patch, mem_pos, mem_idx, mem_valid

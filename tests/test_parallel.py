@@ -103,6 +103,59 @@ class TestShardedTrainer:
         leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
+    def test_fused_eval_sharded_4x2(self, tiny_conf):
+        conf = tiny_conf.replace(B=4, B_seq=4, N=16, M=3, I=4, mesh_data=4,
+                                 mesh_patch=2, donate_buffers=False)
+        trainer = ShardedIPSTrainer(conf)
+        rng = jax.random.PRNGKey(2)
+        batch = trainer.put_batch(
+            {"p": jax.random.uniform(rng, (4, 16, 16, 16, 1)),
+             "m": jnp.ones((4, 16), bool)}, patch_dim=1)
+        labels = trainer.put_batch(
+            {"majority": jnp.arange(4, dtype=jnp.int32) % conf.n_class,
+             "multi": jnp.zeros((4, conf.n_class), jnp.float32)})
+        w = trainer.put_batch(jnp.ones((4,), jnp.float32))
+        loss, task_losses, preds = trainer.fused_eval_step(
+            batch["p"], batch["m"], labels, w, rng)
+        assert np.isfinite(float(loss))
+        assert preds["majority"].shape == (4, conf.n_class)
+
+    def test_fused_sparse_sharded_4x2(self, tiny_conf):
+        conf = tiny_conf.replace(B=4, B_seq=4, N=16, M=3, I=4, mesh_data=4,
+                                 mesh_patch=2, donate_buffers=False)
+        trainer = ShardedIPSTrainer(conf)
+        rng = jax.random.PRNGKey(3)
+        # 64x64 image, 16x16 patches -> N=16; a handful of nonzeros per row.
+        nnz = 32
+        flat_idx = jax.random.randint(rng, (4, nnz), 0, 64 * 64)
+        values = jax.random.uniform(rng, (4, nnz))
+        put = trainer.put_batch({"i": flat_idx, "v": values})
+        mask = trainer.put_batch({"m": jnp.ones((4, 16), bool)},
+                                 patch_dim=1)["m"]
+        labels = trainer.put_batch(
+            {"majority": jnp.arange(4, dtype=jnp.int32) % conf.n_class,
+             "multi": jnp.zeros((4, conf.n_class), jnp.float32)})
+        w = trainer.put_batch(jnp.ones((4,), jnp.float32))
+        loss, _, _ = trainer.fused_sparse_step(
+            put["i"], put["v"], (64, 64), mask, labels, w, rng, 1e-3)
+        assert np.isfinite(float(loss))
+        leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_streaming_select_sharded(self, tiny_conf):
+        conf = tiny_conf.replace(B=4, B_seq=4, N=16, M=3, I=4, mesh_data=4,
+                                 mesh_patch=2, donate_buffers=False)
+        trainer = ShardedIPSTrainer(conf)
+        patches = np.random.default_rng(0).random((4, 16, 16, 16, 1),
+                                                  np.float32)
+        mem_patch, mem_pos, mem_idx, mem_mask = trainer.select_streaming(
+            patches, rng=jax.random.PRNGKey(4))
+        assert mem_patch.shape == (4, 3, 16, 16, 1)
+        # streamed buffers land sharded over the data axis
+        assert mem_patch.sharding.spec[0] == "data"
+        idx = np.asarray(mem_idx)
+        assert (idx >= 0).all() and (idx < 16).all()
+
     def test_dp_cp_mesh_select(self, tiny_conf):
         conf = tiny_conf.replace(B=4, B_seq=4, N=16, M=3, I=4, mesh_data=2,
                                  mesh_patch=4, use_pos=True,
