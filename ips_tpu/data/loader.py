@@ -48,14 +48,33 @@ class DataLoader:
     def __init__(self, dataset: Dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 0, drop_last: bool = False,
                  prefetch: int = 2, seed: int = 0,
-                 collate_fn=None):
+                 collate_fn=None, process_index: int = 0,
+                 process_count: int = 1):
+        """process_index/process_count: multi-host data sharding. Every
+        process draws the SAME global batch order (seeded rng), then loads
+        only its contiguous batch_size/process_count slice of each batch —
+        no host loads (or transfers) another host's rows. Assemble the
+        global array with parallel.distributed.make_global_batch. With
+        process_count > 1 the final ragged batch is dropped so all
+        processes agree on shapes.
+        """
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"batch_size={batch_size} must be divisible by "
+                f"process_count={process_count}")
+        if not (0 <= process_index < max(process_count, 1)):
+            raise ValueError(
+                f"process_index={process_index} out of range for "
+                f"process_count={process_count}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(0, num_workers)
-        self.drop_last = drop_last
+        self.drop_last = drop_last or process_count > 1
         self.prefetch = max(1, prefetch)
         self.collate_fn = collate_fn or _collate
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -69,8 +88,13 @@ class DataLoader:
         if self.shuffle:
             self._rng.shuffle(idx)
         nb = len(self)
-        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
-                for i in range(nb)]
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+        if self.process_count > 1:
+            k = self.batch_size // self.process_count
+            lo = self.process_index * k
+            batches = [b[lo:lo + k] for b in batches]
+        return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batch_indices()

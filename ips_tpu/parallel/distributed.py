@@ -23,12 +23,17 @@ _initialized = False
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               cpu_collectives: Optional[str] = None) -> None:
     """Idempotent jax.distributed.initialize wrapper.
 
     MUST run before any other jax call in the process (touching the
     backend first — even jax.process_count() — would make distributed
     init impossible), so no jax API is consulted in the guard.
+
+    cpu_collectives: 'gloo' (or 'mpi') enables cross-process collectives
+    on the CPU backend — required for multi-process CPU fleets and the
+    2-process smoke test (tests/test_distributed.py); TPU pods ignore it.
     """
     global _initialized
     if _initialized:
@@ -40,6 +45,9 @@ def initialize(coordinator_address: Optional[str] = None,
     if not env_configured:
         _initialized = True   # single-process run; nothing to do
         return
+    if cpu_collectives:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)
@@ -58,3 +66,28 @@ def global_mesh(data: Optional[int] = None, patch: int = 1):
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def make_global_batch(mesh, local_tree, global_rows: int):
+    """Assemble per-process local batch slices into global jax.Arrays.
+
+    Each process passes its own rows (loaded by a process-sharded
+    DataLoader); the result is a single global array of ``global_rows``
+    sharded over the mesh's ``data`` axis — no cross-host data transfer,
+    each host's rows stay on its devices.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ips_tpu.parallel.mesh import DATA_AXIS
+
+    def put(x):
+        if x is None:
+            return None
+        import numpy as np
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P(DATA_AXIS,
+                                         *([None] * (x.ndim - 1))))
+        return jax.make_array_from_process_local_data(
+            sharding, x, (global_rows,) + x.shape[1:])
+
+    return jax.tree.map(put, local_tree)
