@@ -186,32 +186,76 @@ def filter_sts(data) -> List[Tuple[str, int]]:
 
 # -- augmentations (numpy/PIL re-implementations of the torchvision ops) ----
 
+_GRAY_WEIGHTS = np.array([0.2989, 0.587, 0.114], np.float32)
+
+
+def _rgb_to_hsv(img: np.ndarray):
+    """(H, W, 3) float [0,1] -> (h, s, v) planes; torchvision convention
+    (h = 0 for achromatic pixels)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = img.max(axis=-1)
+    minc = img.min(axis=-1)
+    cr = maxc - minc
+    ones = np.ones_like(maxc)
+    s = cr / np.where(maxc == 0, ones, maxc)
+    crd = np.where(cr == 0, ones, cr)
+    rc = (maxc - r) / crd
+    gc = (maxc - g) / crd
+    bc = (maxc - b) / crd
+    h = np.where(r == maxc, bc - gc,
+                 np.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    return h, s, maxc
+
+
+def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    rgb = np.stack([
+        np.choose(i, [v, q, p, p, t, v]),
+        np.choose(i, [t, v, v, q, p, p]),
+        np.choose(i, [p, p, t, v, v, q]),
+    ], axis=-1)
+    return rgb.astype(np.float32)
+
+
+def _adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
+    """torchvision F.adjust_hue: exact HSV hue rotation by `factor` turns."""
+    h, s, v = _rgb_to_hsv(img)
+    return _hsv_to_rgb((h + factor) % 1.0, s, v)
+
+
 def color_jitter(img: np.ndarray, rng: np.random.Generator,
                  amount: float = 0.1) -> np.ndarray:
-    """Brightness/contrast/saturation/hue jitter, factor U(1-a, 1+a)
-    (hue shift U(-a, a)); img float32 (H, W, 3) in [0, 1]."""
-    # brightness
-    img = img * rng.uniform(1 - amount, 1 + amount)
-    # contrast (around the mean gray)
-    mean = img.mean()
-    img = (img - mean) * rng.uniform(1 - amount, 1 + amount) + mean
-    # saturation (toward/away from per-pixel gray)
-    gray = img @ np.array([0.299, 0.587, 0.114], np.float32)
-    img = ((img - gray[..., None]) * rng.uniform(1 - amount, 1 + amount)
-           + gray[..., None])
-    # hue: rotate channels in YIQ-ish space (cheap approximation)
-    theta = rng.uniform(-amount, amount) * np.pi
-    cos_t, sin_t = np.cos(theta), np.sin(theta)
-    yiq_from_rgb = np.array([[0.299, 0.587, 0.114],
-                             [0.596, -0.274, -0.322],
-                             [0.211, -0.523, 0.312]], np.float32)
-    rgb_from_yiq = np.linalg.inv(yiq_from_rgb)
-    rot = np.array([[1, 0, 0],
-                    [0, cos_t, -sin_t],
-                    [0, sin_t, cos_t]], np.float32)
-    m = rgb_from_yiq @ rot @ yiq_from_rgb
-    img = img @ m.T
-    return np.clip(img, 0.0, 1.0)
+    """Exact torchvision ``ColorJitter(a, a, a, a)`` semantics (reference
+    traffic_dataset.py:281): the four ops run in a RANDOM ORDER with one
+    factor each — brightness/contrast/saturation are clamped blends with
+    f ~ U(max(0, 1-a), 1+a), hue is an exact RGB<->HSV rotation with
+    shift ~ U(-a, a). img float32 (H, W, 3) in [0, 1]."""
+    def blend(a, b, f):
+        return np.clip(f * a + (1.0 - f) * b, 0.0, 1.0).astype(np.float32)
+
+    order = rng.permutation(4)
+    lo = max(0.0, 1.0 - amount)
+    f_bright = rng.uniform(lo, 1.0 + amount)
+    f_contrast = rng.uniform(lo, 1.0 + amount)
+    f_sat = rng.uniform(lo, 1.0 + amount)
+    f_hue = rng.uniform(-amount, amount)
+    for op in order:
+        if op == 0:
+            img = blend(img, np.zeros((), np.float32), f_bright)
+        elif op == 1:
+            gray_mean = (img @ _GRAY_WEIGHTS).mean(dtype=np.float32)
+            img = blend(img, gray_mean, f_contrast)
+        elif op == 2:
+            img = blend(img, (img @ _GRAY_WEIGHTS)[..., None], f_sat)
+        else:
+            img = _adjust_hue(img, f_hue)
+    return img
 
 
 def random_translate(img: np.ndarray, rng: np.random.Generator,

@@ -77,6 +77,45 @@ class TestAugment:
         assert out.min() >= 0.0 and out.max() <= 1.0
         assert not np.allclose(out, img)
 
+    def test_hsv_roundtrip_matches_colorsys(self, np_rng):
+        """The HSV conversions must agree with the stdlib's colorsys
+        (torchvision's adjust_hue uses the same classic formulas)."""
+        import colorsys
+
+        from ips_tpu.data.traffic import _hsv_to_rgb, _rgb_to_hsv
+        pix = np_rng.random((64, 1, 3)).astype(np.float32)
+        h, s, v = _rgb_to_hsv(pix)
+        for k in range(64):
+            eh, es, ev = colorsys.rgb_to_hsv(*pix[k, 0])
+            np.testing.assert_allclose([h[k, 0], s[k, 0], v[k, 0]],
+                                       [eh, es, ev], atol=1e-5)
+        back = _hsv_to_rgb(h, s, v)
+        np.testing.assert_allclose(back, pix, atol=1e-5)
+
+    def test_adjust_hue_exact(self, np_rng):
+        """Hue shift must match a colorsys-based oracle (the reference
+        uses torchvision's exact HSV rotation, traffic_dataset.py:281),
+        and a zero shift must be the identity."""
+        import colorsys
+
+        from ips_tpu.data.traffic import _adjust_hue
+        pix = np_rng.random((32, 1, 3)).astype(np.float32)
+        np.testing.assert_allclose(_adjust_hue(pix, 0.0), pix, atol=1e-5)
+        shifted = _adjust_hue(pix, 0.23)
+        for k in range(32):
+            h, s, v = colorsys.rgb_to_hsv(*pix[k, 0])
+            exp = colorsys.hsv_to_rgb((h + 0.23) % 1.0, s, v)
+            np.testing.assert_allclose(shifted[k, 0], exp, atol=1e-5)
+
+    def test_color_jitter_randomizes_order(self):
+        """torchvision applies the 4 ops in a random permutation per call;
+        with a fixed order, hue-then-brightness and brightness-then-hue
+        would be indistinguishable across rng draws."""
+        img = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+        outs = {color_jitter(img, np.random.default_rng(s)).tobytes()
+                for s in range(12)}
+        assert len(outs) >= 10  # different orders/factors -> different outputs
+
     def test_random_translate(self):
         img = np.zeros((10, 10, 1), np.float32)
         img[5, 5] = 1.0
