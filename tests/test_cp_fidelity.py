@@ -1,0 +1,74 @@
+"""Context-parallel selection fidelity with the REAL attention scorer.
+
+Round-1 VERDICT item 4: the CP equality tests used a set-independent toy
+scorer; this measures how closely `ips_select_cp` (per-shard local top-M
++ one global merge) tracks the single-stream selection under the actual
+cross-attention scorer on real megapixel-MNIST data.
+
+Measured on 2026-08-16 (64-image corpus, N=36, M=6, cp=4, see
+RESULTS.md): mean selection-set Jaccard 0.991 with fresh params, 0.973
+after 6 training epochs; end metrics identical. The threshold below has
+margin for init/rng drift but will catch a real regression of the merge.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ips_tpu.config import config_from_dict
+from ips_tpu.data.loader import DataLoader
+from ips_tpu.data.mnist import MegapixelMNIST, generate_megapixel_mnist
+from ips_tpu.ops.selection import ips_select
+from ips_tpu.parallel.ips_sharded import ips_select_cp
+from ips_tpu.train.steps import IPSTrainer
+
+TASKS = {
+    "task0": {"id": 0, "name": "majority", "act_fn": "softmax",
+              "metric": "accuracy"},
+    "task1": {"id": 1, "name": "multi", "act_fn": "sigmoid",
+              "metric": "multilabel_accuracy"},
+}
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cpfid_mnist"))
+    generate_megapixel_mnist(d, n_train=8, n_test=16, width=300, height=300,
+                             noise=True, n_noise=8, seed=0,
+                             digit_source="synthetic")
+    conf = config_from_dict(dict(
+        n_epoch=1, B=8, B_seq=8, n_epoch_warmup=1, lr=1e-3, wd=0.1,
+        n_class=10, data_dir=d, n_worker=0, eager=True, is_image=True,
+        enc_type="resnet18", n_chan_in=1, n_res_blocks=2, shuffle=False,
+        shuffle_style="batch", n_token=2, N=36, M=6, I=6,
+        patch_size=[50, 50], patch_stride=[50, 50], use_pos=True,
+        H=4, D=128, D_k=16, D_v=16, D_inner=128, donate_buffers=False,
+        tasks=TASKS))
+    return conf, d
+
+
+def test_cp_selection_jaccard_with_real_scorer(setup):
+    conf, d = setup
+    trainer = IPSTrainer(conf, rng=jax.random.PRNGKey(0))
+    encode, score = trainer._enc_score_fns(trainer.state.params,
+                                           trainer.state.batch_stats)
+    pos = trainer._pos_table_const()
+
+    loader = DataLoader(MegapixelMNIST(conf, train=False), batch_size=8,
+                        shuffle=False)
+    js = []
+    for batch in loader:
+        patches = jnp.asarray(batch["input"])
+        single = ips_select(encode, score, patches, M=conf.M, I=conf.I,
+                            pos_table=pos)
+        cp = ips_select_cp(encode, score, patches, M=conf.M, I=conf.I,
+                           n_shards=4, pos_table=pos)
+        si, ci = np.asarray(single.mem_idx), np.asarray(cp.mem_idx)
+        for b in range(si.shape[0]):
+            a, c = set(si[b].tolist()), set(ci[b].tolist())
+            js.append(len(a & c) / len(a | c))
+    mean_j = float(np.mean(js))
+    assert mean_j >= 0.8, (
+        f"CP selection diverged from single-stream: mean Jaccard {mean_j:.3f}"
+        f" (measured 0.97-0.99 at round 2; see RESULTS.md)")
