@@ -53,6 +53,15 @@ def file_md5_ok(filepath: str, md5sum: str) -> bool:
 
 
 def ensure_dataset_exists(directory: str, allow_download: bool = True) -> None:
+    if path.exists(path.join(directory, "SYNTHETIC")):
+        # Corpus from ips_tpu.data.traffic_synth: same layout, no md5 gate.
+        if (path.exists(path.join(directory, "Set1", "annotations.txt"))
+                and path.exists(path.join(directory, "Set2",
+                                          "annotations.txt"))):
+            return
+        raise FileNotFoundError(
+            f"synthetic STS marker present but annotations missing under "
+            f"{directory}")
     ok = (file_md5_ok(path.join(directory, "Set1", "annotations.txt"),
                       SET1_ANNOT_MD5)
           and file_md5_ok(path.join(directory, "Set2", "annotations.txt"),

@@ -1,0 +1,141 @@
+"""Synthetic Swedish-Traffic-Signs corpus generator (offline CLI).
+
+The real STS corpus is an auto-download (reference
+data/traffic/traffic_dataset.py:19-120) and this build environment has
+no network egress, so the traffic pipeline could never be *trained*
+here — only fixture-tested. This CLI fabricates a corpus in the exact
+STS on-disk layout:
+
+    out_dir/Set1/{img_*.jpg, annotations.txt}
+    out_dir/Set2/{img_*.jpg, annotations.txt}
+    out_dir/SYNTHETIC            (marker: skips the md5 gate)
+
+so the UNMODIFIED TrafficSigns pipeline (annotation parsing, visibility
+filtering, ColorJitter/translate augmentation, ImageNet normalization,
+patchify) runs end-to-end. Scenes are road-like (sky gradient, road
+wedge, building/distractor rectangles, sensor noise); non-EMPTY classes
+carry a red-ring speed-limit sign at a random position with a
+class-distinctive glyph (50: two horizontal bars, 70: one diagonal
+stroke, 80: two stacked discs). A small fraction of sign images are
+annotated OCCLUDED and some carry MISC_SIGNS entries, exercising the
+reference's filter rules (traffic_dataset.py:263-321).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from os import path
+
+import numpy as np
+
+CLASSES = ["EMPTY", "50_SIGN", "70_SIGN", "80_SIGN"]
+
+
+def _background(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
+    yy = np.linspace(0.0, 1.0, H, dtype=np.float32)[:, None]
+    sky = np.stack([0.45 + 0.2 * (1 - yy), 0.6 + 0.2 * (1 - yy),
+                    0.8 + 0.15 * (1 - yy)], axis=-1)
+    img = np.broadcast_to(sky, (H, W, 3)).copy()
+    # road wedge in the lower half
+    horizon = int(H * rng.uniform(0.45, 0.6))
+    xs = np.arange(W, dtype=np.float32)[None, :]
+    ys = np.arange(H, dtype=np.float32)[:, None]
+    frac = np.clip((ys - horizon) / max(H - horizon, 1), 0, 1)
+    half_w = (0.08 + 0.55 * frac) * W
+    cx = W * rng.uniform(0.4, 0.6)
+    road = (ys >= horizon) & (np.abs(xs - cx) <= half_w)
+    img[road] = rng.uniform(0.25, 0.4)
+    # buildings / distractor rectangles
+    for _ in range(rng.integers(3, 8)):
+        w = int(rng.uniform(0.05, 0.2) * W)
+        h = int(rng.uniform(0.1, 0.35) * H)
+        x0 = int(rng.uniform(0, W - w))
+        y0 = int(max(0, horizon - h))
+        img[y0:horizon, x0:x0 + w] = rng.uniform(0.3, 0.7, 3)
+    img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+    return np.clip(img, 0, 1)
+
+
+def _paint_sign(img: np.ndarray, rng: np.random.Generator, cls: int):
+    """Red-ring speed-limit sign with a class glyph; returns its bbox."""
+    H, W = img.shape[:2]
+    r = rng.uniform(0.05, 0.09) * H
+    cy = rng.uniform(0.2, 0.6) * H
+    cx = rng.uniform(0.1, 0.9) * W
+    ys = np.arange(H, dtype=np.float32)[:, None]
+    xs = np.arange(W, dtype=np.float32)[None, :]
+    d = np.sqrt((ys - cy) ** 2 + (xs - cx) ** 2)
+    img[d <= r] = (0.95, 0.92, 0.85)                      # interior
+    ring = (d <= r) & (d >= 0.72 * r)
+    img[ring] = (0.82, 0.08, 0.10)                        # red ring
+    u, v = (ys - cy) / r, (xs - cx) / r                   # sign-local coords
+    inner = d < 0.64 * r
+    dark = (0.08, 0.08, 0.10)
+    if cls == 1:    # 50: two horizontal bars
+        img[inner & (np.abs(u + 0.25) < 0.12)] = dark
+        img[inner & (np.abs(u - 0.25) < 0.12)] = dark
+    elif cls == 2:  # 70: one thick diagonal stroke
+        img[inner & (np.abs(u - v) < 0.17)] = dark
+    elif cls == 3:  # 80: two stacked discs
+        dd = np.sqrt((u + 0.28) ** 2 + v ** 2)
+        img[inner & (dd < 0.22)] = dark
+        dd = np.sqrt((u - 0.28) ** 2 + v ** 2)
+        img[inner & (dd < 0.22)] = dark
+    return (cx + r, cy + r, cx - r, cy - r)   # (x_max, y_max, x_min, y_min)
+
+
+def _annot_line(fname: str, entries) -> str:
+    if not entries:
+        return f"{fname}:"
+    return f"{fname}:" + ";".join(entries)
+
+
+def generate_synth_sts(out_dir: str, n_per_set: int = 128, height: int = 600,
+                       width: int = 800, seed: int = 0,
+                       occluded_frac: float = 0.08) -> None:
+    rng = np.random.default_rng(seed)
+    from PIL import Image
+    for set_name in ("Set1", "Set2"):
+        set_dir = path.join(out_dir, set_name)
+        os.makedirs(set_dir, exist_ok=True)
+        lines = []
+        for i in range(n_per_set):
+            cls = i % len(CLASSES)       # balanced classes
+            img = _background(rng, height, width)
+            fname = f"{set_name.lower()}_img{i:04d}.jpg"
+            entries = []
+            if cls > 0:
+                bbox = _paint_sign(img, rng, cls)
+                vis = ("OCCLUDED" if rng.random() < occluded_frac
+                       else "VISIBLE")
+                entries.append(
+                    f"{vis}, {bbox[0]:.2f}, {bbox[1]:.2f}, {bbox[2]:.2f}, "
+                    f"{bbox[3]:.2f}, SIGN, {CLASSES[cls]}")
+            if rng.random() < 0.1:
+                entries.append("MISC_SIGNS")
+            lines.append(_annot_line(fname, entries))
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                path.join(set_dir, fname), quality=88)
+        with open(path.join(set_dir, "annotations.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(path.join(out_dir, "SYNTHETIC"), "w") as f:
+        f.write("synthetic STS-layout corpus; md5 gate bypassed\n")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Generate a synthetic STS-layout traffic-sign corpus")
+    p.add_argument("--n_per_set", type=int, default=128)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("output_directory")
+    a = p.parse_args(argv)
+    generate_synth_sts(a.output_directory, a.n_per_set, a.height, a.width,
+                       a.seed)
+    print(f"wrote synthetic STS corpus to {a.output_directory}")
+
+
+if __name__ == "__main__":
+    main()

@@ -238,6 +238,28 @@ class TestFeatureDataset:
         assert len(batches) == 6
 
 
+class TestSynthCorpus:
+    def test_generator_layout_and_labels(self, tmp_path):
+        """The synthetic corpus must walk through the UNMODIFIED
+        SlideManager: normal/tumor/test dirs, ASAP polygons give tumor
+        labels, odd test slides carry lesions."""
+        from ips_tpu.data.camelyon.synth import generate_synth_camelyon
+        d = str(tmp_path / "cam")
+        generate_synth_camelyon(d, n_normal=2, n_tumor=2, n_test=4,
+                                height=256, width=256, seed=0)
+        man = SlideManager(data_dir=d, otsu_fname="missing.csv")
+        assert len(man.get_slide_names_subset(train=True)) == 4
+        assert len(man.get_slide_names_subset(train=False)) == 4
+        assert not man.get_slide("normal_000").has_tumor
+        tumor = man.get_slide("tumor_000")
+        assert tumor.has_tumor and len(tumor.annotations) == 1
+        assert not man.get_slide("test_000").has_tumor
+        assert man.get_slide("test_001").has_tumor
+        # lesions are inside the slide bounds
+        poly = np.array(tumor.annotations[0].polygon)
+        assert (poly >= 0).all() and (poly < 256).all()
+
+
 class TestEndToEndImageMode:
     """CamelyonPatches: raw uint8 tiles through selection + training."""
 

@@ -69,6 +69,43 @@ class TestFilter:
         assert ("e", CLASSES.index("50_SIGN")) in out
 
 
+class TestSynthCorpus:
+    def test_generate_load_and_filter(self, tmp_path):
+        """The synthetic STS corpus must load through the UNMODIFIED
+        TrafficSigns pipeline: md5 gate bypassed by the SYNTHETIC marker,
+        all 4 classes present, OCCLUDED sign images filtered out."""
+        from ips_tpu.config import config_from_dict
+        from ips_tpu.data.traffic import TrafficSigns
+        from ips_tpu.data.traffic_synth import generate_synth_sts
+        d = str(tmp_path / "sts")
+        generate_synth_sts(d, n_per_set=24, height=240, width=320, seed=0,
+                           occluded_frac=0.5)
+        conf = config_from_dict(dict(
+            n_epoch=1, B=4, B_seq=4, lr=1e-3, wd=0.1, n_class=4,
+            data_dir=d, n_worker=0, is_image=True, enc_type="resnet18",
+            n_chan_in=3, n_res_blocks=2, shuffle=False, n_token=1,
+            N=192, M=4, I=4, patch_size=[100, 100],
+            patch_stride=[100, 100], use_pos=False, H=2, D=128, D_k=8,
+            D_v=8, D_inner=64, donate_buffers=False,
+            tasks={"task0": {"id": 0, "name": "sign", "act_fn": "softmax",
+                             "metric": "accuracy"}}))
+        ds = TrafficSigns(conf, train=True)
+        labels = [int(ds._data[i][1]) for i in range(len(ds))]
+        assert set(labels) == {0, 1, 2, 3}
+        # 24 per set, 18 with signs, ~half OCCLUDED and dropped
+        assert 6 + 4 <= len(ds) < 24
+        item = ds[0]
+        assert item["input"].shape == (192, 100, 100, 3)
+
+    def test_marker_requires_annotations(self, tmp_path):
+        from ips_tpu.data.traffic import ensure_dataset_exists
+        d = tmp_path / "broken"
+        d.mkdir()
+        (d / "SYNTHETIC").write_text("x")
+        with pytest.raises(FileNotFoundError, match="annotations missing"):
+            ensure_dataset_exists(str(d), allow_download=False)
+
+
 class TestAugment:
     def test_color_jitter_bounds(self, np_rng):
         img = np_rng.random((16, 16, 3)).astype(np.float32)
