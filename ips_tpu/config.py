@@ -107,6 +107,11 @@ class Config:
                                        # patches are densified ON DEVICE —
                                        # O(nnz) host->HBM traffic instead of
                                        # O(H*W) (sparse datasets, exact tiling)
+    preencode_select: bool = False     # encode all N patches in ONE batched
+                                       # dispatch and scan over cached
+                                       # embedding rows (eager path only;
+                                       # identical selection, costs a
+                                       # (B, N, D) table in HBM)
     score_impl: str = "fast"           # 'attn' (reference-shaped), 'fast'
                                        # (query-folded single GEMM), 'pallas'
                                        # (fused kernel); all numerically equal

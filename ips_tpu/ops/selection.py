@@ -85,7 +85,8 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
                rng: Optional[jax.Array] = None, shuffle: bool = False,
                shuffle_style: str = "batch",
                return_emb: bool = False,
-               prepermute: Optional[bool] = None) -> SelectionResult:
+               prepermute: Optional[bool] = None,
+               preencode: bool = False) -> SelectionResult:
     """Iterative Patch Selection over a resident (eager) patch tensor.
 
     Args:
@@ -95,6 +96,14 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
       pos_table: optional (N, D) positional table (indexed by original id).
       mask: optional (B, N) bool validity for variable-N (bucketed) data.
       rng, shuffle, shuffle_style: tie-break randomization.
+      preencode: encode ALL N patches in ONE batched call up front and scan
+        over cached embedding rows instead of encoding per chunk. Exactly
+        the same selection (encoding is per-patch; only *scoring* is
+        set-dependent, and the scan's candidate sets are unchanged), but
+        one big conv dispatch instead of n_iter+1 sequential ones, and the
+        per-chunk (I, ph, pw, C) patch gathers become (I, D) embedding-row
+        gathers. Costs an extra (B, N, D) embedding table in HBM, so it is
+        for the eager path only (streaming keeps the chunked encode).
     """
     B, N = patches.shape[:2]
 
@@ -136,23 +145,29 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
         prepermute = False
     patches_seq = _gather_patches(patches, perm) if prepermute else None
 
-    def chunk_patches(idx, start):
+    # Pre-encode: one (B, N, ...) -> (B, N, D) encoder dispatch in natural
+    # order; the scan then gathers embedding ROWS by permuted index.
+    emb_table = encode_fn(patches) if preencode else None
+
+    def chunk_emb(idx, start):
+        if preencode:
+            return jnp.take_along_axis(emb_table, idx[..., None], axis=1)
         if prepermute:
-            return jax.lax.dynamic_slice_in_dim(patches_seq, start,
-                                                idx.shape[1], axis=1)
-        return _gather_patches(patches, idx)
+            return encode_fn(jax.lax.dynamic_slice_in_dim(
+                patches_seq, start, idx.shape[1], axis=1))
+        return encode_fn(_gather_patches(patches, idx))
 
     # Init buffer with the first M (post-shuffle) patches
     # (reference ips_net.py:203-214).
     init_idx = perm[:, :M]
     init_valid = perm_valid[:, :M]
-    init_emb = encode_fn(chunk_patches(init_idx, 0))
+    init_emb = chunk_emb(init_idx, 0)
 
     def body(carry, start):
         mem_emb, mem_idx, mem_valid = carry
         cand_idx = jax.lax.dynamic_slice_in_dim(perm, start, I, axis=1)
         cand_valid = jax.lax.dynamic_slice_in_dim(perm_valid, start, I, axis=1)
-        cand_emb = encode_fn(chunk_patches(cand_idx, start))
+        cand_emb = chunk_emb(cand_idx, start)
 
         all_emb = jnp.concatenate([mem_emb, cand_emb], axis=1)
         all_idx = jnp.concatenate([mem_idx, cand_idx], axis=1)

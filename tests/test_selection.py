@@ -248,3 +248,44 @@ class TestPrepermute:
                                       np.asarray(b.mem_idx))
         np.testing.assert_allclose(np.asarray(a.mem_pos),
                                    np.asarray(b.mem_pos))
+
+
+class TestPreencode:
+    """preencode=True must produce the IDENTICAL selection: encoding is
+    per-patch, so caching all N embeddings up front changes dispatch
+    structure only, never the scan's candidate sets."""
+
+    def test_equivalent_to_chunked_path(self):
+        for seed in range(3):
+            rng = jax.random.PRNGKey(seed)
+            patches = jax.random.uniform(rng, (2, 23, 3))
+            kw = dict(M=4, I=5, rng=rng, shuffle=True,
+                      shuffle_style="instance")
+            a = ips_select(_value_encode, _value_score, patches,
+                           preencode=False, **kw)
+            b = ips_select(_value_encode, _value_score, patches,
+                           preencode=True, **kw)
+            np.testing.assert_array_equal(np.asarray(a.mem_idx),
+                                          np.asarray(b.mem_idx))
+            np.testing.assert_allclose(np.asarray(a.mem_patch),
+                                       np.asarray(b.mem_patch))
+
+    def test_equivalent_with_mask_pos_and_real_model(self, tiny_conf, rng):
+        """Real encoder/scorer closures, mask + pos table."""
+        from ips_tpu.train.steps import IPSTrainer
+        conf = tiny_conf.replace(donate_buffers=False)
+        trainer = IPSTrainer(conf, rng=rng)
+        encode, score = trainer._enc_score_fns(trainer.state.params,
+                                               trainer.state.batch_stats)
+        pos = trainer._pos_table_const()
+        patches = jax.random.uniform(rng, (3, conf.N, 16, 16, 1))
+        mask = jnp.arange(conf.N)[None, :].repeat(3, 0) < conf.N - 2
+        kw = dict(M=conf.M, I=conf.I, pos_table=pos, mask=mask, rng=rng,
+                  shuffle=True, shuffle_style="batch")
+        a = ips_select(encode, score, patches, preencode=False, **kw)
+        b = ips_select(encode, score, patches, preencode=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a.mem_idx),
+                                      np.asarray(b.mem_idx))
+        np.testing.assert_allclose(np.asarray(a.mem_emb or a.mem_patch),
+                                   np.asarray(b.mem_emb or b.mem_patch),
+                                   rtol=1e-5, atol=1e-5)
