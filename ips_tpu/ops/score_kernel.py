@@ -95,9 +95,12 @@ def _score_kernel(x_hbm, w_ref, bias_ref, out_ref, logits_ref, x_tile,
             get_dma((i + 1) % 2, i + 1).start()
 
         get_dma(slot, i).wait()
-        # (TH, D) x (TL, D) contracted over D on the MXU -> (TH, TL)
+        # (TH, D) x (TL, D) contracted over D on the MXU -> (TH, TL).
+        # x streams in its native dtype (bf16 halves the HBM traffic);
+        # the cast to the weight dtype happens VMEM->registers, free
+        # relative to the stream.
         logits_ref[:, pl.ds(i * TL, TL)] = jax.lax.dot_general(
-            w_ref[:], x_tile[slot],
+            w_ref[:], x_tile[slot].astype(w_ref.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         return 0
@@ -133,7 +136,8 @@ def pallas_scores(x: jax.Array, w_eff: jax.Array,
     L_pad = _round_up(L, TL)
     TH_pad = _round_up(TH, 8)   # TH rides the sublane axis in-kernel
 
-    x = x.astype(jnp.float32)
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        x = x.astype(jnp.float32)
     if L_pad != L:
         x = jnp.pad(x, ((0, 0), (0, L_pad - L), (0, 0)))
     # kernel consumes W transposed: (TH_pad, D)
@@ -169,7 +173,7 @@ def pallas_scores(x: jax.Array, w_eff: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((TH_pad, L_pad), jnp.float32),   # transposed logits
-            pltpu.VMEM((2, TL, D), jnp.float32),        # x double buffer
+            pltpu.VMEM((2, TL, D), x.dtype),            # x double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
