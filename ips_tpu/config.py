@@ -107,6 +107,12 @@ class Config:
                                        # patches are densified ON DEVICE —
                                        # O(nnz) host->HBM traffic instead of
                                        # O(H*W) (sparse datasets, exact tiling)
+    select_dtype: str = "default"      # 'default' | 'int8': quantize the
+                                       # NO-GRAD selection encoder to int8
+                                       # (v5e int8 MXU ~2x bf16); training
+                                       # forward stays full precision;
+                                       # ranking fidelity measured in
+                                       # RESULTS.md
     preencode_select: bool = False     # encode all N patches in ONE batched
                                        # dispatch and scan over cached
                                        # embedding rows (eager path only;
@@ -152,6 +158,12 @@ class Config:
             self.score_impl = "pallas"
         if self.score_impl not in ("attn", "fast", "pallas"):
             raise ValueError(f"unknown score_impl {self.score_impl!r}")
+        if self.select_dtype not in ("default", "int8"):
+            raise ValueError(f"unknown select_dtype {self.select_dtype!r}")
+        if self.select_dtype == "int8" and not self.is_image:
+            raise ValueError(
+                "select_dtype=int8 quantizes the conv encoder; feature "
+                "mode (is_image=false) uses the projector — leave default")
         if self.M <= 0 or self.I <= 0:
             raise ValueError("M and I must be positive")
         if self.B % self.B_seq != 0:

@@ -141,12 +141,23 @@ class IPSTrainer:
 
     # -- closures over apply ------------------------------------------------
     def _enc_score_fns(self, params, batch_stats):
+        """(encode, score) closures for the SELECTION pass only.
+
+        With conf.select_dtype == 'int8' the encoder runs int8-quantized
+        (ips_tpu/models/quant.py) — safe because selection only *ranks*
+        patches and its embeddings are discarded; the training forward
+        always re-encodes the survivors in full precision.
+        """
         variables = {"params": params, "batch_stats": batch_stats}
         model = self.model
 
-        def encode(x):
-            return model.apply(variables, x, train=False,
-                               method=IPSModel.encode)
+        if self.conf.select_dtype == "int8" and self.conf.is_image:
+            from ips_tpu.models.quant import make_quant_encode_fn
+            encode = make_quant_encode_fn(params, batch_stats, self.conf)
+        else:
+            def encode(x):
+                return model.apply(variables, x, train=False,
+                                   method=IPSModel.encode)
 
         def score(emb, mask):
             return model.apply(variables, emb, mask, method=IPSModel.scores)
