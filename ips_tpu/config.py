@@ -138,6 +138,15 @@ class Config:
                                        # here (TensorBoard/Perfetto); '' disables
     metrics_path: str = ""             # append per-epoch metrics as JSON lines
                                        # (observability; reference is stdout-only)
+    input_norm: str = "none"           # 'imagenet': normalize inputs ON DEVICE
+                                       # (RGB datasets then ship compact uint8
+                                       # patches — 4x less host->HBM traffic
+                                       # than host-side float normalization;
+                                       # reference normalizes on host,
+                                       # traffic_dataset.py:275-290)
+    img_size: Optional[List[int]] = None  # dataset resize (H, W) override for
+                                       # the traffic pipeline (None = the
+                                       # reference's fixed 1200x1600)
 
     def __post_init__(self):
         self.patch_size = _as_tuple2(self.patch_size)
@@ -158,6 +167,13 @@ class Config:
             self.score_impl = "pallas"
         if self.score_impl not in ("attn", "fast", "pallas"):
             raise ValueError(f"unknown score_impl {self.score_impl!r}")
+        if self.input_norm not in ("none", "imagenet"):
+            raise ValueError(f"unknown input_norm {self.input_norm!r}")
+        if self.input_norm == "imagenet" and (not self.is_image
+                                              or self.n_chan_in != 3):
+            raise ValueError("input_norm='imagenet' needs RGB image input")
+        if self.img_size is not None:
+            self.img_size = _as_tuple2(self.img_size)
         if self.select_dtype not in ("default", "int8"):
             raise ValueError(f"unknown select_dtype {self.select_dtype!r}")
         if self.select_dtype == "int8" and not self.is_image:

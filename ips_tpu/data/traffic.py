@@ -293,6 +293,15 @@ class TrafficSigns(Dataset):
         self.tasks = conf.task_list
         self.train = train
         self.seed = conf.seed
+        self.img_size = conf.img_size or IMG_SIZE
+        # reference shifts up to 100 px at 1200x1600
+        # (traffic_dataset.py:282); scale with any img_size override
+        self.max_shift = (max(1, round(100 * self.img_size[0] / 1200)),
+                          max(1, round(100 * self.img_size[1] / 1600)))
+        # input_norm='imagenet' moves normalization ON DEVICE
+        # (models/ips_net.py) so patches ship as compact uint8 — 4x less
+        # host->HBM traffic through the loader
+        self.emit_uint8 = conf.input_norm == "imagenet"
         # per-__getitem__ generators (a shared np Generator is not
         # thread-safe under the threaded loader); the counter varies the
         # augmentation across epochs like the reference's global torch RNG
@@ -306,7 +315,7 @@ class TrafficSigns(Dataset):
     def _load_image(self, fpath: str) -> np.ndarray:
         from PIL import Image
         img = Image.open(fpath).convert("RGB")
-        img = img.resize((IMG_SIZE[1], IMG_SIZE[0]), Image.BILINEAR)
+        img = img.resize((self.img_size[1], self.img_size[0]), Image.BILINEAR)
         return np.asarray(img, np.float32) / 255.0
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
@@ -315,10 +324,13 @@ class TrafficSigns(Dataset):
         if self.train:
             rng = np.random.default_rng([self.seed, i, next(self._draw)])
             img = color_jitter(img, rng)
-            img = random_translate(img, rng)
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
-        patches = patchify(img.astype(np.float32), self.patch_size,
-                           self.patch_stride)
+            img = random_translate(img, rng, max_dy=self.max_shift[0],
+                                   max_dx=self.max_shift[1])
+        if self.emit_uint8:
+            img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        else:
+            img = ((img - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+        patches = patchify(img, self.patch_size, self.patch_stride)
         out = {"input": patches}
         for t in self.tasks:
             out[t.name] = np.int64(category)

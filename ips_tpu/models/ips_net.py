@@ -34,6 +34,14 @@ from ips_tpu.models.encoders import (ConvPatchEncoder, FeatureProjector,
                                      encoder_out_dim)
 from ips_tpu.models.transformer import CrossAttnTransformer, torch_linear_init
 
+# torchvision's ImageNet constants (reference traffic_dataset.py:275-290).
+# Kept as host numpy: they become in-trace constants under jit (creating
+# device arrays at import time would touch the backend before config).
+import numpy as _np
+
+IMAGENET_MEAN = _np.asarray([0.485, 0.456, 0.406], _np.float32)
+IMAGENET_STD = _np.asarray([0.229, 0.224, 0.225], _np.float32)
+
 
 class IPSModel(nn.Module):
     conf: Config
@@ -78,6 +86,10 @@ class IPSModel(nn.Module):
         """
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
+        if self.conf.input_norm == "imagenet":
+            # on-device normalization: datasets ship raw [0,1]/uint8 RGB
+            # (reference normalizes on host, traffic_dataset.py:275-290)
+            x = (x.astype(jnp.float32) - IMAGENET_MEAN) / IMAGENET_STD
         lead = x.shape[:2]
         flat = x.reshape((lead[0] * lead[1],) + x.shape[2:])
         row_w = (jnp.repeat(weights, lead[1]) if weights is not None

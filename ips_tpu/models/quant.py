@@ -109,7 +109,8 @@ _STAGE_BLOCKS = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
 
 def quant_encode_patches(enc_params: Dict, enc_stats: Dict, x: jax.Array,
                          *, enc_type: str = "resnet18",
-                         n_res_blocks: int = 2) -> jax.Array:
+                         n_res_blocks: int = 2,
+                         input_norm: str = "none") -> jax.Array:
     """(n, H, W, C) patches -> (n, D) embeddings, int8 conv arithmetic.
 
     Mirrors ConvPatchEncoder.__call__ in eval mode (encoders.py:162-193):
@@ -119,6 +120,9 @@ def quant_encode_patches(enc_params: Dict, enc_stats: Dict, x: jax.Array,
     if x.dtype == jnp.uint8:
         x = x.astype(jnp.float32) / 255.0
     x = x.astype(jnp.float32)
+    if input_norm == "imagenet":
+        from ips_tpu.models.ips_net import IMAGENET_MEAN, IMAGENET_STD
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
 
     y = _qconv(x, enc_params["conv1"]["kernel"], stride=2, padding=3,
                bn=_fold_bn(enc_params["bn1"], enc_stats["bn1"]), relu=True)
@@ -152,7 +156,8 @@ def make_quant_encode_fn(params: Dict, batch_stats: Dict, conf):
         flat = x.reshape((lead[0] * lead[1],) + x.shape[2:])
         emb = quant_encode_patches(enc_p, enc_s, flat,
                                    enc_type=conf.enc_type,
-                                   n_res_blocks=conf.n_res_blocks)
+                                   n_res_blocks=conf.n_res_blocks,
+                                   input_norm=conf.input_norm)
         return emb.reshape(lead + (emb.shape[-1],))
 
     return encode

@@ -217,3 +217,79 @@ class TestDataset:
             assert item2["input"].shape == (192, 100, 100, 3)
         finally:
             traffic_mod.file_md5_ok = orig
+
+
+class TestImgSizeAndUint8Mode:
+    """Round-2 knobs: `img_size` resize override and the on-device
+    normalization path (`input_norm='imagenet'`) that ships uint8."""
+
+    def _synth_conf(self, tmp_path, **over):
+        from ips_tpu.data.traffic_synth import generate_synth_sts
+        d = str(tmp_path / "sts")
+        generate_synth_sts(d, n_per_set=8, height=120, width=160, seed=0)
+        base = dict(
+            n_epoch=1, B=2, B_seq=2, lr=1e-3, wd=0.1, n_class=4,
+            data_dir=d, n_worker=0, is_image=True, enc_type="resnet18",
+            n_chan_in=3, n_res_blocks=2, shuffle=False, n_token=1,
+            N=48, M=4, I=4, patch_size=[50, 50], patch_stride=[50, 50],
+            img_size=[300, 400], use_pos=False, H=2, D=128, D_k=8,
+            D_v=8, D_inner=64, donate_buffers=False,
+            tasks={"task0": {"id": 0, "name": "sign", "act_fn": "softmax",
+                             "metric": "accuracy"}})
+        base.update(over)
+        return config_from_dict(base)
+
+    def test_img_size_override_changes_patch_grid(self, tmp_path):
+        conf = self._synth_conf(tmp_path)
+        ds = TrafficSigns(conf, train=True)
+        assert ds.img_size == (300, 400)
+        # translate limit scales with the resize (reference: 100px@1200x1600)
+        assert ds.max_shift == (25, 25)
+        assert ds[0]["input"].shape == (48, 50, 50, 3)
+
+    def test_uint8_mode_emits_uint8_and_matches_float_path(self, tmp_path):
+        conf_u8 = self._synth_conf(tmp_path, input_norm="imagenet")
+        conf_f32 = self._synth_conf(tmp_path)
+        # eval split: no stochastic augmentation, so both paths see the
+        # same resized image
+        ds_u8 = TrafficSigns(conf_u8, train=False)
+        ds_f32 = TrafficSigns(conf_f32, train=False)
+        a, b = ds_u8[0]["input"], ds_f32[0]["input"]
+        assert a.dtype == np.uint8 and b.dtype == np.float32
+        from ips_tpu.data.traffic import IMAGENET_MEAN, IMAGENET_STD
+        renorm = (a.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        # only uint8 rounding noise between the two paths
+        np.testing.assert_allclose(renorm, b, atol=0.5 / 255 / 0.2 + 1e-6)
+
+    def test_on_device_normalization_matches_host(self, tmp_path):
+        """encode(uint8, input_norm='imagenet') == encode(host-normalized
+        float) up to uint8 rounding: the device path must apply the exact
+        ImageNet constants after the /255 scaling."""
+        import jax
+        from ips_tpu.train.steps import IPSTrainer
+        conf_u8 = self._synth_conf(tmp_path, input_norm="imagenet")
+        conf_f32 = self._synth_conf(tmp_path)
+        ds_u8 = TrafficSigns(conf_u8, train=False)
+        ds_f32 = TrafficSigns(conf_f32, train=False)
+        x_u8 = ds_u8[0]["input"][None]          # (1, N, ph, pw, 3) uint8
+        x_f32 = ds_f32[0]["input"][None]
+        tr_u8 = IPSTrainer(conf_u8)
+        tr_f32 = IPSTrainer(conf_f32)           # same seed -> same params
+        from ips_tpu.models.ips_net import IPSModel
+        def enc(tr, x):
+            return tr.model.apply(
+                {"params": tr.state.params,
+                 "batch_stats": tr.state.batch_stats},
+                x, train=False, method=IPSModel.encode)
+        e_u8 = np.asarray(enc(tr_u8, x_u8))
+        e_f32 = np.asarray(enc(tr_f32, x_f32))
+        np.testing.assert_allclose(e_u8, e_f32, atol=5e-2, rtol=1e-2)
+
+    def test_input_norm_requires_rgb_images(self):
+        with pytest.raises(ValueError, match="RGB"):
+            config_from_dict(dict(
+                n_epoch=1, B=1, B_seq=1, lr=1e-3, wd=0.1, n_class=2,
+                is_image=False, n_chan_in=64, n_token=1, N=8, M=2, I=2,
+                input_norm="imagenet", H=2, D=32, D_k=8, D_v=8, D_inner=32,
+                tasks={"task0": {"id": 0, "name": "t", "act_fn": "softmax",
+                                 "metric": "accuracy"}}))
