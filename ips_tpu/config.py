@@ -147,6 +147,13 @@ class Config:
     img_size: Optional[List[int]] = None  # dataset resize (H, W) override for
                                        # the traffic pipeline (None = the
                                        # reference's fixed 1200x1600)
+    prefetch_depth: int = 2            # loader batches kept in flight ON
+                                       # DEVICE in the eager fused paths:
+                                       # batch k+1's host->HBM transfer
+                                       # overlaps batch k's step (the
+                                       # reference serializes them,
+                                       # training/iterative.py:118-121).
+                                       # 1 disables; numerics identical
 
     def __post_init__(self):
         self.patch_size = _as_tuple2(self.patch_size)
@@ -172,6 +179,8 @@ class Config:
         if self.input_norm == "imagenet" and (not self.is_image
                                               or self.n_chan_in != 3):
             raise ValueError("input_norm='imagenet' needs RGB image input")
+        if self.prefetch_depth < 1:
+            raise ValueError("prefetch_depth must be >= 1")
         if self.img_size is not None:
             self.img_size = _as_tuple2(self.img_size)
         if self.select_dtype not in ("default", "int8"):

@@ -179,6 +179,67 @@ def _log_train_step(conf, tracker, logger, epoch, data_it, is_last, lr,
                   weights=np.asarray(weights))
 
 
+def _prefetched(iterable, prepare, depth: int):
+    """Yield prepare(item) while keeping up to `depth` prepared items in
+    flight.
+
+    `prepare` issues the (asynchronous) jax.device_put calls, so batch
+    k+1's host->HBM transfer overlaps batch k's device step — the
+    reference serializes transfer and compute per batch
+    (training/iterative.py:118-121). Numerics are untouched: preparation
+    is keyed on the iteration index, not on consumption order.
+    """
+    from collections import deque
+    buf = deque()
+    for item in iterable:
+        buf.append(prepare(item))
+        if len(buf) >= max(depth, 1):
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
+def _prep_fused(trainer, conf, base_rng, it, batch):
+    """Everything up to (and including) the async device placement for one
+    eager fused-path loader batch."""
+    rng = jax.random.fold_in(base_rng, it)
+    batch, row_weights = _pad_loader_batch(conf, batch)
+    B_seq, N = batch["input"].shape[:2]
+    labels = _labels_from_batch(conf, batch)
+    patches, mask = _put_select(trainer, jnp.asarray(batch["input"]),
+                                _batch_mask(batch, B_seq, N))
+    put = trainer.put_batch({"labels": labels,
+                             "w": jnp.asarray(row_weights)})
+    return it, patches, mask, put, labels, row_weights, rng
+
+
+def _use_pipeline(conf: Config) -> bool:
+    """Eager fused path with device-side prefetch enabled."""
+    return (conf.eager and conf.B_seq == conf.B and not conf.sparse_input
+            and conf.prefetch_depth > 1)
+
+
+def _train_epoch_pipelined(trainer, loader, epoch, logger, conf, tracker,
+                           base_rng, steps_per_epoch):
+    last_lr = 0.0
+    prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
+    for (it, patches, mask, put, labels, row_weights,
+         rng) in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+        data_it = epoch * steps_per_epoch + it
+        is_last = it == steps_per_epoch - 1
+        tracker.start()
+        last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
+                                   conf.n_epoch, conf.n_epoch_warmup,
+                                   conf.lr)
+        loss, task_losses, preds = trainer.fused_step(
+            patches, mask, put["labels"], put["w"], rng, last_lr)
+        _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
+                        last_lr, loss, task_losses, preds, labels,
+                        row_weights)
+    tracker.finish_epoch(epoch)
+    return last_lr
+
+
 def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Config,
                     tracker: Optional[EfficiencyTracker] = None):
     """One training epoch (reference training/iterative.py:103-189)."""
@@ -187,6 +248,10 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
     base_rng = jax.random.PRNGKey(conf.seed * 1_000_003 + epoch)
     tracker = tracker or EfficiencyTracker(conf)
     last_lr = 0.0
+
+    if _use_pipeline(conf):
+        return _train_epoch_pipelined(trainer, loader, epoch, logger, conf,
+                                      tracker, base_rng, steps_per_epoch)
 
     for it, batch in enumerate(loader):
         data_it = epoch * steps_per_epoch + it
@@ -281,11 +346,25 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
     return last_lr
 
 
+def _eval_pipelined(trainer, loader, logger, conf, base_rng):
+    prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
+    for (_, patches, mask, put, labels, row_weights,
+         rng) in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+        loss, task_losses, preds = trainer.fused_eval_step(
+            patches, mask, put["labels"], put["w"], rng)
+        tl, pr = _to_host(task_losses, preds)
+        logger.update(tl, pr, {k: np.asarray(v) for k, v in labels.items()},
+                      weights=row_weights)
+
+
 def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
     """Evaluation epoch (reference training/iterative.py:194-231)."""
     steps_per_epoch = len(loader)
     assembler = BatchAssembler(conf)
     base_rng = jax.random.PRNGKey(conf.seed * 7_000_003 + 1)
+
+    if _use_pipeline(conf):
+        return _eval_pipelined(trainer, loader, logger, conf, base_rng)
 
     for it, batch in enumerate(loader):
         is_last = it == steps_per_epoch - 1

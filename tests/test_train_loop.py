@@ -178,3 +178,34 @@ def test_mask_padding_attention(overfit_conf):
     _, _, pu2 = tu.eval_step(mem, None, full, labels, w)
     np.testing.assert_allclose(np.asarray(pm2["majority"]),
                                np.asarray(pu2["majority"]), rtol=1e-5)
+
+
+def test_prefetch_pipeline_matches_serial(overfit_conf):
+    """prefetch_depth=2 overlaps batch k+1's device_put with batch k's
+    step; it must be bit-identical to the serial path (same fold_in rng
+    per iteration index, same jitted functions)."""
+    conf_serial = overfit_conf.replace(prefetch_depth=1, n_epoch=2)
+    conf_pipe = overfit_conf.replace(prefetch_depth=2, n_epoch=2)
+    _, log_s, loader_s = _run_epochs(conf_serial, 2)
+    trainer_p, log_p, loader_p = _run_epochs(conf_pipe, 2)
+    for task in ("majority", "multi"):
+        np.testing.assert_array_equal(
+            np.asarray(log_s.losses_epoch[task]),
+            np.asarray(log_p.losses_epoch[task]))
+    # eval side of the pipeline (fresh UNSHUFFLED loader: the training
+    # loader reshuffles statefully per iteration, so two successive
+    # evaluate() calls over it would see different batch orders)
+    data = SignalPatches(conf_pipe, n_samples=16)
+    eval_loader = DataLoader(data, batch_size=conf_pipe.B_seq,
+                             shuffle=False)
+    elog_s, elog_p = (MetricsLogger(conf_serial.task_list),
+                      MetricsLogger(conf_pipe.task_list))
+    evaluate(trainer_p, eval_loader, elog_s, conf_serial)
+    evaluate(trainer_p, eval_loader, elog_p, conf_pipe)
+    elog_s.compute_metric()
+    elog_p.compute_metric()
+    for task in ("majority", "multi"):
+        np.testing.assert_array_equal(
+            np.asarray(elog_s.losses_epoch[task]),
+            np.asarray(elog_p.losses_epoch[task]))
+        assert elog_s.metrics[task] == elog_p.metrics[task]
