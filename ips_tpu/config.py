@@ -181,6 +181,11 @@ class Config:
             raise ValueError("input_norm='imagenet' needs RGB image input")
         if self.prefetch_depth < 1:
             raise ValueError("prefetch_depth must be >= 1")
+        if self.preencode_select and self.mesh_patch > 1:
+            raise ValueError(
+                "preencode_select is not supported with context parallelism "
+                "(mesh_patch > 1): the CP selection path streams per-shard "
+                "chunks and would silently ignore the knob")
         if self.img_size is not None:
             self.img_size = _as_tuple2(self.img_size)
         if self.select_dtype not in ("default", "int8"):

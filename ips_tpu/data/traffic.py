@@ -35,8 +35,8 @@ SET1_URL = ("http://www.isy.liu.se/cvl/research/trafficSigns"
 SET2_URL = ("http://www.isy.liu.se/cvl/research/trafficSigns"
             "/swedishSignsSummer/Set2/Set2Part0.zip")
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# single source of truth, shared with the on-device path (ips_net.py)
+from ips_tpu.utils.imagenet import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 VISIBILITIES = ["VISIBLE", "BLURRED", "SIDE_ROAD", "OCCLUDED"]
 

@@ -34,13 +34,7 @@ from ips_tpu.models.encoders import (ConvPatchEncoder, FeatureProjector,
                                      encoder_out_dim)
 from ips_tpu.models.transformer import CrossAttnTransformer, torch_linear_init
 
-# torchvision's ImageNet constants (reference traffic_dataset.py:275-290).
-# Kept as host numpy: they become in-trace constants under jit (creating
-# device arrays at import time would touch the backend before config).
-import numpy as _np
-
-IMAGENET_MEAN = _np.asarray([0.485, 0.456, 0.406], _np.float32)
-IMAGENET_STD = _np.asarray([0.229, 0.224, 0.225], _np.float32)
+from ips_tpu.utils.imagenet import IMAGENET_MEAN, IMAGENET_STD
 
 
 class IPSModel(nn.Module):

@@ -31,7 +31,9 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-_EPS = 1e-5        # MaskedBatchNorm epsilon
+from ips_tpu.models.norm import MaskedBatchNorm
+
+_EPS = MaskedBatchNorm.epsilon    # folded BN must match the real encoder's
 _QMAX = 127.0
 
 

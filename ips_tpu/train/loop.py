@@ -26,14 +26,15 @@ from ips_tpu.utils.profiling import EfficiencyTracker
 
 
 def _labels_from_batch(conf: Config, batch: Dict[str, np.ndarray]
-                       ) -> Dict[str, jnp.ndarray]:
+                       ) -> Dict[str, np.ndarray]:
+    """Host-side label arrays; trainer.put_batch places them on device."""
     labels = {}
     for t in conf.task_list:
         arr = np.asarray(batch[t.name])
         if t.metric == "multilabel_accuracy":
-            labels[t.name] = jnp.asarray(arr, jnp.float32)
+            labels[t.name] = np.asarray(arr, np.float32)
         else:
-            labels[t.name] = jnp.asarray(arr, jnp.int32)
+            labels[t.name] = np.asarray(arr, np.int32)
     return labels
 
 
@@ -102,9 +103,12 @@ def _to_host(task_losses, preds):
 
 
 def _batch_mask(batch: Dict[str, np.ndarray], B: int, N: int):
+    """Host-side mask; device placement happens in trainer.put_batch
+    (staging through the default device first would double the transfer
+    under a mesh)."""
     if "mask" in batch:
-        return jnp.asarray(batch["mask"], bool)
-    return jnp.ones((B, N), dtype=bool)
+        return np.asarray(batch["mask"], bool)
+    return np.ones((B, N), dtype=bool)
 
 
 def _maybe_log_step(conf: Config, data_it: int, loss, lr: float):
@@ -206,17 +210,16 @@ def _prep_fused(trainer, conf, base_rng, it, batch):
     batch, row_weights = _pad_loader_batch(conf, batch)
     B_seq, N = batch["input"].shape[:2]
     labels = _labels_from_batch(conf, batch)
-    patches, mask = _put_select(trainer, jnp.asarray(batch["input"]),
+    patches, mask = _put_select(trainer, batch["input"],
                                 _batch_mask(batch, B_seq, N))
-    put = trainer.put_batch({"labels": labels,
-                             "w": jnp.asarray(row_weights)})
+    put = trainer.put_batch({"labels": labels, "w": row_weights})
     return it, patches, mask, put, labels, row_weights, rng
 
 
 def _use_pipeline(conf: Config) -> bool:
-    """Eager fused path with device-side prefetch enabled."""
-    return (conf.eager and conf.B_seq == conf.B and not conf.sparse_input
-            and conf.prefetch_depth > 1)
+    """Eager fused path: one code path for every prefetch_depth
+    (depth 1 = prepare-then-consume, i.e. the serial schedule)."""
+    return conf.eager and conf.B_seq == conf.B and not conf.sparse_input
 
 
 def _train_epoch_pipelined(trainer, loader, epoch, logger, conf, tracker,
@@ -273,7 +276,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             put = trainer.put_batch({"idx": batch["input_idx"],
                                      "val": batch["input_val"],
                                      "labels": labels,
-                                     "w": jnp.asarray(row_weights)})
+                                     "w": row_weights})
             mask = trainer.put_batch({"m": mask}, patch_dim=1)["m"]
             loss, task_losses, preds = trainer.fused_sparse_step(
                 put["idx"], put["val"], hw, mask, put["labels"],
@@ -310,22 +313,8 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
                                 lab, weights)
             continue
 
-        patches, mask = _put_select(trainer, jnp.asarray(batch["input"]),
+        patches, mask = _put_select(trainer, batch["input"],
                                     _batch_mask(batch, B_seq, N))
-
-        # Fast path: loader batch == optimizer batch, fused select+train.
-        if conf.B_seq == conf.B and B_seq == conf.B:
-            last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
-                                       conf.n_epoch, conf.n_epoch_warmup,
-                                       conf.lr)
-            put = trainer.put_batch({"labels": labels,
-                                     "w": jnp.asarray(row_weights)})
-            loss, task_losses, preds = trainer.fused_step(
-                patches, mask, put["labels"], put["w"], rng, last_lr)
-            _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
-                            last_lr, loss, task_losses, preds, labels,
-                            row_weights)
-            continue
 
         mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask, rng)
         assembler.add(mem_patch, mem_pos, mem_mask, labels, row_weights)
@@ -373,14 +362,15 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
         batch = _resolve_sparse(conf, trainer, batch)
         labels = _labels_from_batch(conf, batch)
 
-        # Fast path: select + eval in one jitted dispatch.
+        # Fused select+eval in one dispatch — reached only on the
+        # sparse path now (_use_pipeline covers every dense eager case);
+        # batch["input"] is the on-device densified patch tensor here.
         if conf.eager and conf.B_seq == conf.B:
-            patches = jnp.asarray(batch["input"])
+            patches = batch["input"]
             patches, mask = _put_select(
                 trainer, patches, _batch_mask(batch, conf.B,
                                               patches.shape[1]))
-            put = trainer.put_batch({"labels": labels,
-                                     "w": jnp.asarray(row_weights)})
+            put = trainer.put_batch({"labels": labels, "w": row_weights})
             loss, task_losses, preds = trainer.fused_eval_step(
                 patches, mask, put["labels"], put["w"], rng)
             tl, pr = _to_host(task_losses, preds)
@@ -393,9 +383,8 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
             mem_patch, mem_pos, _, mem_mask = trainer.select_streaming(
                 batch["input"], batch.get("mask"), rng)
         else:
-            patches = jnp.asarray(batch["input"])
-            B_seq, N = patches.shape[:2]
-            patches, mask = _put_select(trainer, patches,
+            B_seq, N = batch["input"].shape[:2]
+            patches, mask = _put_select(trainer, batch["input"],
                                         _batch_mask(batch, B_seq, N))
             mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask,
                                                              rng)

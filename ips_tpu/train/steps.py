@@ -128,12 +128,15 @@ class IPSTrainer:
     def put_batch(self, tree, patch_dim=None):
         """Device-placement hook for loader batches.
 
-        Single-device trainers let jit place inputs; ShardedIPSTrainer
-        overrides this to shard dim 0 over the `data` mesh axis (and
-        `patch_dim` over `patch`) so host->device transfers land directly
-        in their final layout.
+        Single-device trainers issue one async jax.device_put here (so the
+        prefetch pipeline's transfers start at prepare time, not at step
+        dispatch); ShardedIPSTrainer overrides this to shard dim 0 over
+        the `data` mesh axis (and `patch_dim` over `patch`) so
+        host->device transfers land directly in their final layout.
+        Callers pass HOST arrays — staging through the default device
+        first would double the transfer under a mesh.
         """
-        return tree
+        return jax.device_put(tree)
 
     def _stream_sharding(self, ndim: int):
         """Sharding for streamed selection chunks (None = default device)."""
