@@ -181,6 +181,12 @@ class Config:
             raise ValueError("input_norm='imagenet' needs RGB image input")
         if self.prefetch_depth < 1:
             raise ValueError("prefetch_depth must be >= 1")
+        if self.use_pos and self.N <= 0:
+            raise ValueError(
+                "use_pos needs a fixed patch count (N > 0): the positional "
+                "table is built per original patch index (reference "
+                "ips_net.py:110-113); variable-N datasets (N=0) must set "
+                "use_pos: false")
         if self.preencode_select and self.mesh_patch > 1:
             raise ValueError(
                 "preencode_select is not supported with context parallelism "

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import multiprocessing as mp
 import os
+import sys
 from functools import partial
 
 import pandas as pd
@@ -61,12 +62,19 @@ def compute_foreground(data_dir: str, otsu_fname: str, out_dir: str, *,
     # (reference foreground.py:113-165).
     all_x, all_y, all_names = [], [], []
     bounds_rows = []
-    for xs, ys, ns in results:
+    for name, (xs, ys, ns) in zip(names, results):
+        if not xs:
+            # blank/glass slide (or fg_perc_thresh too high): no tiles.
+            # Emitting a bounds row with end_id < start_id would crash
+            # every downstream consumer — skip the slide with a warning.
+            print(f"warning: slide {name} produced no foreground tiles; "
+                  f"skipping", file=sys.stderr)
+            continue
         start = len(all_x)
         all_x.extend(xs)
         all_y.extend(ys)
         all_names.extend(ns)
-        bounds_rows.append({"name": ns[0] if ns else "",
+        bounds_rows.append({"name": ns[0],
                             "start_id": start,
                             "end_id": len(all_x) - 1})
     coords = pd.DataFrame({

@@ -30,9 +30,10 @@ class Predictor:
 
     def __init__(self, conf: Config, checkpoint_dir: Optional[str] = None,
                  trainer: Optional[IPSTrainer] = None):
-        # Inference never shuffles (deterministic, reproducible selection).
+        # Inference never shuffles (deterministic, reproducible selection);
+        # init_opt=False skips the two param-sized AdamW moment trees.
         self.conf = conf.replace(shuffle=False, donate_buffers=False)
-        self.trainer = IPSTrainer(self.conf)
+        self.trainer = IPSTrainer(self.conf, init_opt=False)
         if trainer is not None:
             # adopt the live trainer's weights; keep OUR deterministic conf
             # (the trainer's own jits may have shuffle enabled)
@@ -71,16 +72,24 @@ class Predictor:
         return out
 
 
-def _load_inputs(conf: Config, paths) -> np.ndarray:
-    """Image files or .npy patch arrays -> (B, N, ph, pw, C)."""
+def _load_inputs(conf: Config, paths):
+    """Image files or .npy patch arrays -> ((B, N, ph, pw, C), row_sources).
+
+    row_sources has one label per batch row: a multi-sample .npy
+    contributes several rows ("file.npy[k]"), so predictions stay
+    attributed to their actual source.
+    """
     from ips_tpu.data.patchify import patchify
-    batches = []
+    batches, sources = [], []
     for p in paths:
+        name = os.path.basename(p)
         if p.endswith(".npy"):
             arr = np.load(p)
             if arr.ndim == 4:            # (N, ph, pw, C) single image
                 arr = arr[None]
             batches.append(arr.astype(np.float32))
+            sources.extend(name if arr.shape[0] == 1 else f"{name}[{k}]"
+                           for k in range(arr.shape[0]))
         else:
             from PIL import Image
             img = np.asarray(Image.open(p).convert(
@@ -89,7 +98,8 @@ def _load_inputs(conf: Config, paths) -> np.ndarray:
                 img = img[..., None]
             batches.append(patchify(img, conf.patch_size,
                                     conf.patch_stride)[None])
-    return np.concatenate(batches, axis=0)
+            sources.append(name)
+    return np.concatenate(batches, axis=0), sources
 
 
 def main(argv=None):
@@ -107,14 +117,14 @@ def main(argv=None):
     paths = sorted(sum((glob.glob(x) for x in a.input), []))
     if not paths:
         raise FileNotFoundError(f"no inputs matched {a.input}")
-    patches = _load_inputs(conf, paths)
+    patches, row_sources = _load_inputs(conf, paths)
 
     predictor = Predictor(conf, checkpoint_dir=a.checkpoint)
     preds = predictor.predict(patches)
 
     result = []
-    for i, path in enumerate(paths):
-        row = {"input": os.path.basename(path)}
+    for i, source in enumerate(row_sources):
+        row = {"input": source}
         for task in conf.task_list:
             probs = preds[task.name][i]
             row[task.name] = {

@@ -117,7 +117,9 @@ def run(conf: Config, dataset: str):
             ckpt_mgr.save(trainer, epoch + 1)
             last_saved = epoch + 1
 
-    if ckpt_mgr and last_saved != conf.n_epoch:
+    if ckpt_mgr and last_saved != conf.n_epoch and start_epoch < conf.n_epoch:
+        # start_epoch == n_epoch means a resumed, already-finished run:
+        # the final checkpoint exists and orbax refuses to overwrite a step
         ckpt_mgr.save(trainer, conf.n_epoch)
     return trainer, log_train, log_test
 

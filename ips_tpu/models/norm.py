@@ -51,6 +51,7 @@ class MaskedBatchNorm(nn.Module):
             if weights is None:
                 mean = x32.mean(axis=reduce_axes)
                 var = x32.var(axis=reduce_axes)
+                count = jnp.asarray(x32.size // features, jnp.float32)
             else:
                 w = weights.astype(jnp.float32).reshape(
                     (-1,) + (1,) * (x.ndim - 1))                # (N,1,..,1)
@@ -58,10 +59,14 @@ class MaskedBatchNorm(nn.Module):
                     w.sum() * (x32.size // (x.shape[0] * features)), 1.0)
                 mean = (x32 * w).sum(axis=reduce_axes) / denom
                 var = (((x32 - mean) ** 2) * w).sum(axis=reduce_axes) / denom
+                count = denom
             if not self.is_initializing():
                 m = self.momentum
+                # torch normalizes with the biased variance but stores the
+                # Bessel-corrected (unbiased) one in running_var
+                bessel = count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                ra_var.value = m * ra_var.value + (1 - m) * (var * bessel)
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias

@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-_STAGE_BLOCKS = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
+from ips_tpu.models.encoders import _STAGE_BLOCKS
 
 
 def torch_resnet_to_flat(state_dict, enc_type: str = "resnet18"

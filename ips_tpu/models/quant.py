@@ -31,6 +31,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from ips_tpu.models.encoders import _STAGE_BLOCKS
 from ips_tpu.models.norm import MaskedBatchNorm
 
 _EPS = MaskedBatchNorm.epsilon    # folded BN must match the real encoder's
@@ -106,7 +107,6 @@ def _bottleneck_block(x, p, s, stride):
     return jax.nn.relu(y + res)
 
 
-_STAGE_BLOCKS = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
 
 
 def quant_encode_patches(enc_params: Dict, enc_stats: Dict, x: jax.Array,
@@ -123,7 +123,7 @@ def quant_encode_patches(enc_params: Dict, enc_stats: Dict, x: jax.Array,
         x = x.astype(jnp.float32) / 255.0
     x = x.astype(jnp.float32)
     if input_norm == "imagenet":
-        from ips_tpu.models.ips_net import IMAGENET_MEAN, IMAGENET_STD
+        from ips_tpu.utils.imagenet import IMAGENET_MEAN, IMAGENET_STD
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
 
     y = _qconv(x, enc_params["conv1"]["kernel"], stride=2, padding=3,

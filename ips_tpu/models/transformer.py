@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-NEG_INF = -1e9
+from ips_tpu.constants import NEG_INF
 
 
 def pos_enc_1d_np(D: int, len_seq: int):

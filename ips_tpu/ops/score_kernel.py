@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e9
+from ips_tpu.constants import NEG_INF
 
 
 def fold_query(q: jax.Array, wq: jax.Array, wk: jax.Array, H: int,

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ips_tpu.ops.shuffle import make_permutation
 
-NEG_INF = -1e9
+from ips_tpu.constants import NEG_INF
 
 EncodeFn = Callable[[jax.Array], jax.Array]          # (B, n, ...) -> (B, n, D)
 ScoreFn = Callable[[jax.Array, Optional[jax.Array]], jax.Array]

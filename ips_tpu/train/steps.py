@@ -81,7 +81,10 @@ def compute_task_losses(conf: Config, preds: Dict[str, jax.Array],
 class IPSTrainer:
     """Owns model/optimizer and the compiled step functions."""
 
-    def __init__(self, conf: Config, rng: Optional[jax.Array] = None):
+    def __init__(self, conf: Config, rng: Optional[jax.Array] = None,
+                 init_opt: bool = True):
+        """init_opt=False skips AdamW state allocation (two param-sized
+        moment trees) for inference-only use (ips_tpu/infer.py)."""
         self.conf = conf
         rng = rng if rng is not None else jax.random.PRNGKey(conf.seed)
         self.model, params, batch_stats = init_ips_model(conf, rng)
@@ -108,12 +111,13 @@ class IPSTrainer:
             weight_decay=conf.wd)
         self.state = TrainState(
             params=params, batch_stats=batch_stats,
-            opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32))
+            opt_state=self.tx.init(params) if init_opt else None,
+            step=jnp.zeros((), jnp.int32))
         # kept as a HOST constant: jit traces embed it directly instead of
         # reading a device buffer back at trace time (the remote-TPU
         # device->host path is slow and can fail mid-trace)
         self.pos_table = (pos_enc_1d_np(conf.D, conf.N)
-                          if conf.use_pos and conf.N > 0 else None)
+                          if conf.use_pos else None)  # config validates N>0
 
         self._select = jax.jit(self._select_impl)
         self._streaming = None
@@ -246,8 +250,15 @@ class IPSTrainer:
                                opt_state=new_opt, step=state.step + 1)
         return new_state, loss, task_losses, preds
 
+    def _require_opt(self):
+        if self.state.opt_state is None:
+            raise RuntimeError(
+                "trainer was built with init_opt=False (inference-only); "
+                "training steps need optimizer state")
+
     def train_step(self, mem_patch, mem_pos, mem_mask, labels, weights, rng,
                    lr: float):
+        self._require_opt()
         self.state, loss, task_losses, preds = self._train(
             self.state, mem_patch, mem_pos, mem_mask, labels, weights, rng,
             jnp.asarray(lr, jnp.float32))
@@ -296,6 +307,7 @@ class IPSTrainer:
                                 weights, dropout_rng, lr)
 
     def fused_step(self, patches, mask, labels, weights, rng, lr: float):
+        self._require_opt()
         self.state, loss, task_losses, preds = self._fused(
             self.state, patches, mask, labels, weights, rng,
             jnp.asarray(lr, jnp.float32))
@@ -323,6 +335,7 @@ class IPSTrainer:
         """Densify + select + train in one jit (sparse_input fast path);
         a single device dispatch per optimizer step — on remote-attached
         TPUs the per-call RPC latency dominates small-step training."""
+        self._require_opt()
         if not hasattr(self, "_fused_sparse"):
             self._fused_sparse = self._jit_fused_sparse()
         self.state, loss, task_losses, preds = self._fused_sparse(

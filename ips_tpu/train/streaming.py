@@ -49,6 +49,15 @@ class StreamingSelector:
         s = self.trainer._stream_sharding(np.ndim(x))
         return jax.device_put(x, s) if s is not None else jax.device_put(x)
 
+    def _host_cast(self, x: np.ndarray) -> np.ndarray:
+        """Honor input_dtype=bfloat16 on the host side: halves the
+        host->HBM volume of every streamed chunk (the bottleneck lazy mode
+        exists for) with numerics identical to the eager path — the
+        encoder casts inputs to bf16 at its first conv either way."""
+        if self.conf.input_dtype == "bfloat16" and x.dtype != np.uint8:
+            return x.astype(jnp.bfloat16)
+        return x
+
     def select(self, patches: np.ndarray, mask: Optional[np.ndarray] = None,
                rng: Optional[jax.Array] = None
                ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array,
@@ -67,7 +76,7 @@ class StreamingSelector:
 
         # Shortcut parity with the scan engine (reference ips_net.py:184-188).
         if M >= N:
-            dev_patch = self._put(np.asarray(patches))
+            dev_patch = self._put(self._host_cast(np.asarray(patches)))
             idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
             pos = (self._put(np.broadcast_to(
                        trainer.pos_table[None, :N], (B, N, conf.D)))
@@ -90,8 +99,8 @@ class StreamingSelector:
                 pad = size - idx.shape[1]
                 idx = np.pad(idx, ((0, 0), (0, pad)))
                 valid = np.pad(valid, ((0, 0), (0, pad)))
-            return (gather_patches(patches, idx), idx.astype(np.int32),
-                    valid)
+            return (self._host_cast(gather_patches(patches, idx)),
+                    idx.astype(np.int32), valid)
 
         # init buffer = first M (post-shuffle) patches
         init_np, init_idx, init_valid = host_chunk(0, M)
@@ -116,7 +125,7 @@ class StreamingSelector:
                 mem_valid, *cur)
 
         mem_idx_np = np.asarray(mem_idx)
-        mem_patch = self._put(patches[rows, mem_idx_np])
+        mem_patch = self._put(self._host_cast(patches[rows, mem_idx_np]))
         # gather on the host: ships (B, M, D) instead of the full (N, D) table
         mem_pos = (self._put(trainer.pos_table[mem_idx_np])
                    if trainer.pos_table is not None else None)

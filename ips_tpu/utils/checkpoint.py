@@ -36,17 +36,24 @@ class CheckpointManager:
         latest = self._mgr.latest_step()
         if latest is None:
             return None
-        template = {
-            "params": trainer.state.params,
-            "batch_stats": trainer.state.batch_stats,
-            "opt_state": trainer.state.opt_state,
-            "step": trainer.state.step,
-            "epoch": np.asarray(0),
-        }
-        restored = self._mgr.restore(
-            latest, args=ocp.args.StandardRestore(template))
+        if trainer.state.opt_state is not None:
+            template = {
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+                "opt_state": trainer.state.opt_state,
+                "step": trainer.state.step,
+                "epoch": np.asarray(0),
+            }
+            restored = self._mgr.restore(
+                latest, args=ocp.args.StandardRestore(template))
+            opt_state = restored["opt_state"]
+        else:
+            # inference-only trainer (init_opt=False): read the checkpoint
+            # structure-free and drop the saved optimizer moments
+            restored = self._mgr.restore(latest)
+            opt_state = None
         trainer.state = TrainState(
             params=restored["params"], batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
+            opt_state=opt_state,
             step=jax.numpy.asarray(restored["step"]))
         return int(restored["epoch"])

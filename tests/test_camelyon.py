@@ -167,6 +167,30 @@ class TestSlideModel:
                                                           "tumor_001")
         assert man.get_slide_names_subset(train=False) == ("test_001",)
 
+    def test_foreground_skips_blank_slide(self, cam_dir):
+        """A slide yielding zero foreground tiles must be skipped, not
+        emitted as a corrupt bounds row (name '', end_id < start_id)."""
+        import numpy as np
+        import pandas as pd
+        from PIL import Image
+
+        from ips_tpu.data.camelyon.foreground import compute_foreground
+
+        blank = Image.fromarray(np.full((300, 300, 3), 255, np.uint8))
+        blank.save(os.path.join(cam_dir, "training/normal/normal_002.png"))
+        with open(os.path.join(cam_dir, "otsu3.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["name", "level", "threshold"])
+            for n in ["normal_001", "normal_002", "tumor_001", "test_001"]:
+                w.writerow([n, 0, 12.5])
+
+        coords_p, bounds_p = compute_foreground(
+            cam_dir, "otsu3.csv", os.path.join(cam_dir, "fg2"), train=True,
+            tile_size=100, fg_perc_thresh=0.05, n_worker=1)
+        bounds = pd.read_pickle(bounds_p)
+        assert set(bounds["name"]) == {"normal_001", "tumor_001"}
+        assert (bounds["end_id"] >= bounds["start_id"]).all()
+
     def test_offline_pipeline_end_to_end(self, cam_dir):
         """otsu CLI -> foreground CLI -> extract_feat with a toy encoder."""
         from ips_tpu.data.camelyon.extract_feat import extract_features

@@ -64,3 +64,26 @@ def test_predictor_checkpoint_roundtrip(small_conf, tmp_path):
 def test_predictor_missing_checkpoint(small_conf, tmp_path):
     with pytest.raises(FileNotFoundError, match="no checkpoint"):
         Predictor(small_conf, checkpoint_dir=str(tmp_path / "empty"))
+
+
+def test_predictor_skips_optimizer_state(small_conf):
+    pred = Predictor(small_conf)
+    assert pred.trainer.state.opt_state is None
+    with pytest.raises(RuntimeError, match="init_opt=False"):
+        pred.trainer.train_step(None, None, None, {}, None,
+                                jax.random.PRNGKey(0), 0.0)
+
+
+def test_load_inputs_multisample_sources(small_conf, tmp_path):
+    """A multi-sample .npy contributes one output row per sample, each
+    attributed to 'file.npy[k]' (not misassigned to later paths)."""
+    from ips_tpu.infer import _load_inputs
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "a.npy",
+            rng.random((3, 12, 16, 16, 1)).astype(np.float32))
+    np.save(tmp_path / "b.npy",
+            rng.random((12, 16, 16, 1)).astype(np.float32))
+    patches, sources = _load_inputs(
+        small_conf, [str(tmp_path / "a.npy"), str(tmp_path / "b.npy")])
+    assert patches.shape[0] == 4
+    assert sources == ["a.npy[0]", "a.npy[1]", "a.npy[2]", "b.npy"]

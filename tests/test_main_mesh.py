@@ -72,6 +72,17 @@ def test_cli_trains_on_mesh(mnist_dir, mesh_data, mesh_patch):
     assert losses[-1] < losses[0], f"train loss did not decrease: {losses}"
 
 
+def test_resume_after_completion_is_noop(mnist_dir, tmp_path):
+    """Re-running a finished run with resume=True must exit cleanly, not
+    crash re-saving the already-existing final orbax step."""
+    conf = _conf(mnist_dir).replace(checkpoint_dir=str(tmp_path / "ck"))
+    run(conf, "mnist")
+
+    trainer, log_train, _ = run(conf.replace(resume=True), "mnist")
+    # start_epoch == n_epoch: nothing trained, nothing re-saved
+    assert all(len(v) == 0 for v in log_train.losses_epoch.values())
+
+
 def test_build_trainer_selects_sharded(mnist_dir):
     conf = _conf(mnist_dir, mesh_data=1, mesh_patch=1)
     from ips_tpu.train.steps import IPSTrainer

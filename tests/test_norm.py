@@ -32,10 +32,40 @@ def test_matches_flax_batchnorm_train():
     got, got_mut = _masked_apply(x, train=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
                                atol=1e-5)
-    for k in ("mean", "var"):
-        np.testing.assert_allclose(
-            np.asarray(got_mut["batch_stats"][k]),
-            np.asarray(ref_mut["batch_stats"][k]), rtol=1e-5, atol=1e-6)
+    # running mean matches flax; running var differs from flax by design:
+    # torch stores the Bessel-corrected variance (see test below), flax the
+    # biased one
+    n = 16 * 5 * 5
+    np.testing.assert_allclose(
+        np.asarray(got_mut["batch_stats"]["mean"]),
+        np.asarray(ref_mut["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_mut["batch_stats"]["var"]),
+        1.0 * 0.9 + (np.asarray(ref_mut["batch_stats"]["var"]) - 0.9)
+        * (n / (n - 1)), rtol=1e-5, atol=1e-6)
+
+
+def test_matches_torch_batchnorm_train():
+    """Golden: train-mode output AND updated running stats vs torch
+    (torch normalizes with biased variance but stores the unbiased one in
+    running_var — reference BatchNorm2d semantics)."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(1.5, 2.0, (8, 6, 6, 4)).astype(np.float32)
+
+    bn = torch.nn.BatchNorm2d(4, eps=1e-5, momentum=0.1)
+    bn.train()
+    with torch.no_grad():
+        ref = bn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    got, mut = _masked_apply(jnp.asarray(x), train=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]),
+                               bn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                               bn.running_var.numpy(), rtol=1e-5, atol=1e-6)
 
 
 def test_all_ones_weights_identical_to_unweighted():
@@ -92,13 +122,11 @@ def test_train_step_weights_reach_batchnorm(tiny_conf):
     t1 = IPSTrainer(conf, rng=jax.random.PRNGKey(0))
     t1.train_step(mem, None, mask, labels, w_padded, rng, 0.0)
 
-    # reference computation: physically shrunk batch (first 2 rows), but
-    # we must keep shapes, so run with all-ones weights on a batch whose
-    # rows are [real, real, real, real] copies of the first two
-    t2 = IPSTrainer(conf, rng=jax.random.PRNGKey(0))
-    mem2 = jnp.concatenate([mem[:2], mem[:2]])
-    labels2 = {k: jnp.concatenate([v[:2], v[:2]]) for k, v in labels.items()}
-    t2.train_step(mem2, None, mask, labels2, jnp.ones(4), rng, 0.0)
+    # reference computation: the physically shrunk batch (first 2 rows) —
+    # exactly what the reference's shrink_batch would train on
+    t2 = IPSTrainer(conf.replace(B=2, B_seq=2), rng=jax.random.PRNGKey(0))
+    labels2 = {k: v[:2] for k, v in labels.items()}
+    t2.train_step(mem[:2], None, mask[:2], labels2, jnp.ones(2), rng, 0.0)
 
     bs1 = jax.tree.map(np.asarray, t1.state.batch_stats)
     bs2 = jax.tree.map(np.asarray, t2.state.batch_stats)

@@ -64,6 +64,23 @@ def test_streaming_in_train_loop(tiny_conf):
     assert len(log.losses_it["majority"]) == 2
 
 
+def test_streaming_bf16_matches_eager(tiny_conf):
+    """Under input_dtype=bfloat16 the lazy path must ship bf16 chunks
+    (half the host->HBM volume) and select identically to the eager
+    engine (both cast to bf16 before the first conv)."""
+    conf = tiny_conf.replace(N=20, M=4, I=5, eager=False,
+                             input_dtype="bfloat16")
+    tr = IPSTrainer(conf, rng=jax.random.PRNGKey(11))
+    rng = jax.random.PRNGKey(3)
+    patches = np.asarray(jax.random.uniform(rng, (2, 20, 16, 16, 1)))
+    dev = tr.select(jnp.asarray(patches), rng=rng)
+    lazy = tr.select_streaming(patches, rng=rng)
+    assert lazy[0].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(dev[2]), np.asarray(lazy[2]))
+    np.testing.assert_allclose(np.asarray(dev[0], np.float32),
+                               np.asarray(lazy[0], np.float32), rtol=1e-6)
+
+
 def test_bf16_input_dtype_select(tiny_conf):
     """input_dtype=bfloat16 runs the selection loop in bf16 storage."""
     conf = tiny_conf.replace(N=12, M=4, I=4, input_dtype="bfloat16")
