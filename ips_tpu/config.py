@@ -118,6 +118,10 @@ class Config:
                                        # embedding rows (eager path only;
                                        # identical selection, costs a
                                        # (B, N, D) table in HBM)
+    select_unroll: int = 1             # lax.scan unroll factor for the
+                                       # selection loop (semantics-identical;
+                                       # lets XLA overlap scoring/top-k with
+                                       # the next chunk's convs)
     score_impl: str = "fast"           # 'attn' (reference-shaped), 'fast'
                                        # (query-folded single GEMM), 'pallas'
                                        # (fused kernel); all numerically equal
@@ -181,6 +185,8 @@ class Config:
             raise ValueError("input_norm='imagenet' needs RGB image input")
         if self.prefetch_depth < 1:
             raise ValueError("prefetch_depth must be >= 1")
+        if self.select_unroll < 1:
+            raise ValueError("select_unroll must be >= 1")
         if self.use_pos and self.N <= 0:
             raise ValueError(
                 "use_pos needs a fixed patch count (N > 0): the positional "

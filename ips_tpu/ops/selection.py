@@ -86,7 +86,8 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
                shuffle_style: str = "batch",
                return_emb: bool = False,
                prepermute: Optional[bool] = None,
-               preencode: bool = False) -> SelectionResult:
+               preencode: bool = False,
+               unroll: int = 1) -> SelectionResult:
     """Iterative Patch Selection over a resident (eager) patch tensor.
 
     Args:
@@ -104,6 +105,11 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
         per-chunk (I, ph, pw, C) patch gathers become (I, D) embedding-row
         gathers. Costs an extra (B, N, D) embedding table in HBM, so it is
         for the eager path only (streaming keeps the chunked encode).
+      unroll: lax.scan unroll factor (semantics-identical). Chunk k+1's
+        encode is independent of chunk k's top-M buffer, so an unrolled
+        scan lets XLA overlap iteration k's small ops (scoring, top_k,
+        gathers, concats) with iteration k+1's convs instead of
+        serializing them at every carry boundary.
     """
     B, N = patches.shape[:2]
 
@@ -186,7 +192,8 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
 
     starts = M + jnp.arange(n_iter, dtype=jnp.int32) * I
     (mem_emb, mem_idx, mem_valid), _ = jax.lax.scan(
-        body, (init_emb, init_idx, init_valid), starts)
+        body, (init_emb, init_idx, init_valid), starts,
+        unroll=max(1, min(unroll, n_iter)))
 
     mem_patch = _gather_patches(patches, mem_idx)
     mem_pos = pos_table[mem_idx] if pos_table is not None else None

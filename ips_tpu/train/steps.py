@@ -188,7 +188,7 @@ class IPSTrainer:
             encode, score, patches, M=conf.M, I=conf.I,
             pos_table=self._pos_table_const(), mask=mask, rng=rng,
             shuffle=conf.shuffle, shuffle_style=conf.shuffle_style,
-            preencode=conf.preencode_select)
+            preencode=conf.preencode_select, unroll=conf.select_unroll)
         return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask
 
     def select(self, patches, mask=None, rng=None):

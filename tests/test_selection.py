@@ -56,6 +56,22 @@ class TestGreedyTopM:
                                       [[0, 1, 2, 3, 4]] * 2)
         np.testing.assert_array_equal(np.asarray(res.mem_patch), patches)
 
+    @pytest.mark.parametrize("unroll", [2, 4, 8])
+    def test_unroll_is_semantics_identical(self, unroll, tiny_conf):
+        """lax.scan unroll must not change selection — bit-identical
+        memory through the REAL encoder/scorer, including a ragged tail."""
+        from ips_tpu.train.steps import IPSTrainer
+        conf = tiny_conf.replace(N=23, M=4, I=3)
+        rng = jax.random.PRNGKey(5)
+        patches = jax.random.uniform(rng, (2, 23, 16, 16, 1))
+        base = IPSTrainer(conf, rng=jax.random.PRNGKey(0))
+        other = IPSTrainer(conf.replace(select_unroll=unroll),
+                           rng=jax.random.PRNGKey(0))
+        a = base.select(patches, rng=rng)
+        b = other.select(patches, rng=rng)
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
     def test_order_is_score_descending(self):
         res = ips_select(_value_encode, _value_score, _vals(1, 20), M=4, I=4)
         idx = np.asarray(res.mem_idx)[0]
