@@ -159,6 +159,16 @@ class ShardedIPSTrainer(IPSTrainer):
         return jax.jit(self._fused_eval_impl,
                        in_shardings=(rep, rep, datp, datp, dat, dat, rep))
 
+    def _jit_fused_multi(self):
+        rep, dat, datp = self._shardings
+        donate = (0,) if self.conf.donate_buffers else ()
+        # leading (K,) step axis is unsharded; batch dims shift by one
+        kdatp = NamedSharding(self.mesh, P(None, DATA_AXIS, PATCH_AXIS))
+        kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(self._fused_multi_impl, donate_argnums=donate,
+                       in_shardings=(rep, kdatp, kdatp, kdat, kdat, rep,
+                                     rep))
+
     def _jit_fused_sparse(self):
         rep, dat, datp = self._shardings
         donate = (0,) if self.conf.donate_buffers else ()

@@ -222,6 +222,71 @@ def _use_pipeline(conf: Config) -> bool:
     return conf.eager and conf.B_seq == conf.B and not conf.sparse_input
 
 
+def _train_epoch_grouped(trainer, loader, epoch, logger, conf,
+                         base_rng, steps_per_epoch):
+    """steps_per_dispatch > 1: K fused steps per device dispatch.
+
+    Consumes the same prefetched prepare pipeline as the K=1 path, stacks
+    K prepared batches along a leading step axis and runs ONE
+    `fused_multi_step` — identical update sequence (same per-step rng/lr
+    as `_train_epoch_pipelined` would use), with per-dispatch overhead
+    paid once per K steps. A trailing group smaller than K falls back to
+    the single-step jit, so no zero-weight fake steps ever touch BN
+    statistics or AdamW weight decay.
+    """
+    K = conf.steps_per_dispatch
+    last_lr = 0.0
+    prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
+
+    def run_group(group):
+        nonlocal last_lr
+        lrs = [warmup_cosine_lr(epoch * steps_per_epoch + g[0] + 1,
+                                steps_per_epoch, conf.n_epoch,
+                                conf.n_epoch_warmup, conf.lr)
+               for g in group]
+        last_lr = lrs[-1]
+        if len(group) == K:
+            patches = jnp.stack([g[1] for g in group])
+            mask = jnp.stack([g[2] for g in group])
+            lab_dev = {k: jnp.stack([g[3]["labels"][k] for g in group])
+                       for k in group[0][3]["labels"]}
+            w = jnp.stack([g[3]["w"] for g in group])
+            rngs = jnp.stack([g[6] for g in group])
+            losses, task_losses, preds = trainer.fused_multi_step(
+                patches, mask, lab_dev, w, rngs, jnp.asarray(lrs))
+            for j, (it, _p, _m, _put, labels, row_weights, _r) in \
+                    enumerate(group):
+                _maybe_log_step(conf, epoch * steps_per_epoch + it,
+                                losses[j], lrs[j])
+                tl, pr = _to_host({k: v[j] for k, v in task_losses.items()},
+                                  {k: v[j] for k, v in preds.items()})
+                logger.update(tl, pr,
+                              {k: np.asarray(v) for k, v in labels.items()},
+                              weights=np.asarray(row_weights))
+        else:
+            # tail smaller than K: the plain single-step jit
+            for j, (it, patches, mask, put, labels, row_weights, rng) in \
+                    enumerate(group):
+                loss, task_losses, preds = trainer.fused_step(
+                    patches, mask, put["labels"], put["w"], rng, lrs[j])
+                _maybe_log_step(conf, epoch * steps_per_epoch + it, loss,
+                                lrs[j])
+                tl, pr = _to_host(task_losses, preds)
+                logger.update(tl, pr,
+                              {k: np.asarray(v) for k, v in labels.items()},
+                              weights=np.asarray(row_weights))
+
+    group = []
+    for item in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+        group.append(item)
+        if len(group) == K:
+            run_group(group)
+            group = []
+    if group:
+        run_group(group)
+    return last_lr
+
+
 def _train_epoch_pipelined(trainer, loader, epoch, logger, conf, tracker,
                            base_rng, steps_per_epoch):
     last_lr = 0.0
@@ -253,6 +318,11 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
     last_lr = 0.0
 
     if _use_pipeline(conf):
+        if conf.steps_per_dispatch > 1 and not conf.track_efficiency:
+            # K steps per dispatch (track_efficiency keeps the K=1 path so
+            # its per-step timing semantics stay exact)
+            return _train_epoch_grouped(trainer, loader, epoch, logger,
+                                        conf, base_rng, steps_per_epoch)
         return _train_epoch_pipelined(trainer, loader, epoch, logger, conf,
                                       tracker, base_rng, steps_per_epoch)
 

@@ -313,6 +313,50 @@ class IPSTrainer:
             jnp.asarray(lr, jnp.float32))
         return loss, task_losses, preds
 
+    # -- multi-step: K fused steps in ONE dispatch --------------------------
+    def _fused_multi_impl(self, state: TrainState, patches, mask, labels,
+                          weights, rngs, lrs):
+        """K fused select+train steps as a lax.scan over the leading step
+        axis of stacked batches.
+
+        The update sequence is IDENTICAL to K sequential `fused_step`
+        calls with the same per-step (rng, lr) — the scan body IS
+        `_fused_impl` — but per-dispatch overhead (measured ~5 ms/step on
+        the remote-attached chip: RPC latency + per-call setup,
+        `scripts/probe_fused_loop.py`) is paid once per K steps. The
+        reference dispatches every phase separately
+        (training/iterative.py:103-189).
+        """
+        def body(st, xs):
+            st, loss, task_losses, preds = self._fused_impl(
+                st, xs["p"], xs["m"], xs["lab"], xs["w"], xs["rng"],
+                xs["lr"])
+            return st, (loss, task_losses, preds)
+
+        xs = {"p": patches, "m": mask, "lab": labels, "w": weights,
+              "rng": rngs, "lr": lrs}
+        state, (losses, task_losses, preds) = jax.lax.scan(body, state, xs)
+        return state, losses, task_losses, preds
+
+    def _jit_fused_multi(self):
+        """jit factory for the multi-step path (overridden under a mesh)."""
+        donate = (0,) if self.conf.donate_buffers else ()
+        return jax.jit(self._fused_multi_impl, donate_argnums=donate)
+
+    def fused_multi_step(self, patches, mask, labels, weights, rngs, lrs):
+        """K fused steps per device dispatch (conf.steps_per_dispatch).
+
+        patches/mask/labels/weights carry a leading (K,) step axis; rngs is
+        (K, key), lrs (K,). Returns per-step (losses, task_losses, preds).
+        """
+        self._require_opt()
+        if not hasattr(self, "_fused_multi"):
+            self._fused_multi = self._jit_fused_multi()
+        self.state, losses, task_losses, preds = self._fused_multi(
+            self.state, patches, mask, labels, weights, rngs,
+            jnp.asarray(lrs, jnp.float32))
+        return losses, task_losses, preds
+
     # -- fused sparse select+train: ONE dispatch from (idx, val) pairs ------
     def _jit_fused_sparse(self):
         """jit factory for the fused sparse step (overridden under a mesh).

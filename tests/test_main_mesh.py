@@ -72,6 +72,19 @@ def test_cli_trains_on_mesh(mnist_dir, mesh_data, mesh_patch):
     assert losses[-1] < losses[0], f"train loss did not decrease: {losses}"
 
 
+def test_cli_mesh_with_steps_per_dispatch(mnist_dir):
+    """steps_per_dispatch>1 under a (4,2) mesh: the K-step scan runs with
+    sharded batch inputs and replicated params."""
+    conf = _conf(mnist_dir, mesh_data=4, mesh_patch=2).replace(
+        steps_per_dispatch=2)
+    trainer, log_train, _ = run(conf, "mnist")
+    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+        assert leaf.sharding.is_fully_replicated
+    losses = _mean_losses(log_train)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"train loss did not decrease: {losses}"
+
+
 def test_resume_after_completion_is_noop(mnist_dir, tmp_path):
     """Re-running a finished run with resume=True must exit cleanly, not
     crash re-saving the already-existing final orbax step."""
