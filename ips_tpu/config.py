@@ -122,8 +122,8 @@ class Config:
                                        # (lax.scan over stacked batches).
                                        # Amortizes per-dispatch overhead
                                        # (~5 ms/step on remote-attached
-                                       # TPUs); identical update sequence,
-                                       # eager fused path only
+                                       # TPUs); identical update sequence;
+                                       # eager fused + sparse fused paths
     select_unroll: int = 1             # lax.scan unroll factor for the
                                        # selection loop (semantics-identical;
                                        # lets XLA overlap scoring/top-k with

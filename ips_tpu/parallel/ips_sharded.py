@@ -179,6 +179,16 @@ class ShardedIPSTrainer(IPSTrainer):
                        in_shardings=(rep, dat, dat, datp, dat, dat, rep,
                                      rep))
 
+    def _jit_fused_sparse_multi(self):
+        rep, dat, datp = self._shardings
+        donate = (0,) if self.conf.donate_buffers else ()
+        kdatp = NamedSharding(self.mesh, P(None, DATA_AXIS, PATCH_AXIS))
+        kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(self._fused_sparse_multi_impl, donate_argnums=donate,
+                       static_argnums=(8,),
+                       in_shardings=(rep, kdat, kdat, kdatp, kdat, kdat,
+                                     rep, rep))
+
     def _select_impl(self, params, batch_stats, patches, mask, rng):
         conf = self.conf
         if self.n_cp <= 1:

@@ -287,6 +287,83 @@ def _train_epoch_grouped(trainer, loader, epoch, logger, conf,
     return last_lr
 
 
+def _prep_sparse(trainer, conf, base_rng, it, batch):
+    """Prepare one sparse fast-path loader batch (async device placement)."""
+    rng = jax.random.fold_in(base_rng, it)
+    batch, row_weights = _pad_loader_batch(conf, batch)
+    if "input_idx" not in batch:
+        raise ValueError("sparse_input grouped path needs (input_idx, "
+                         "input_val) loader batches")
+    labels = _labels_from_batch(conf, batch)
+    hw = tuple(int(v) for v in np.asarray(batch["img_hw"])[0])
+    put = trainer.put_batch({"idx": batch["input_idx"],
+                             "val": batch["input_val"],
+                             "labels": labels, "w": row_weights})
+    mask = trainer.put_batch(
+        {"m": _batch_mask(batch, conf.B, conf.N)}, patch_dim=1)["m"]
+    return it, put, mask, hw, labels, row_weights, rng
+
+
+def _train_epoch_sparse_grouped(trainer, loader, epoch, logger, conf,
+                                base_rng, steps_per_epoch):
+    """steps_per_dispatch > 1 on the sparse fast path: K densify+select+
+    train steps per dispatch (same structure as _train_epoch_grouped)."""
+    K = conf.steps_per_dispatch
+    last_lr = 0.0
+    prep = lambda ib: _prep_sparse(trainer, conf, base_rng, ib[0], ib[1])
+
+    def log_step(it, lr, loss_tl_preds, labels, row_weights):
+        loss, tl, pr = loss_tl_preds
+        _maybe_log_step(conf, epoch * steps_per_epoch + it, loss, lr)
+        logger.update(tl, pr, {k: np.asarray(v) for k, v in labels.items()},
+                      weights=np.asarray(row_weights))
+
+    def run_group(group):
+        nonlocal last_lr
+        lrs = [warmup_cosine_lr(epoch * steps_per_epoch + g[0] + 1,
+                                steps_per_epoch, conf.n_epoch,
+                                conf.n_epoch_warmup, conf.lr)
+               for g in group]
+        last_lr = lrs[-1]
+        hws = {g[3] for g in group}
+        if len(group) == K and len(hws) == 1:
+            idx_k = jnp.stack([g[1]["idx"] for g in group])
+            val_k = jnp.stack([g[1]["val"] for g in group])
+            lab_k = {k: jnp.stack([g[1]["labels"][k] for g in group])
+                     for k in group[0][1]["labels"]}
+            w_k = jnp.stack([g[1]["w"] for g in group])
+            mask_k = jnp.stack([g[2] for g in group])
+            rngs = jnp.stack([g[6] for g in group])
+            losses, task_losses, preds = trainer.fused_sparse_multi_step(
+                idx_k, val_k, group[0][3], mask_k, lab_k, w_k, rngs,
+                jnp.asarray(lrs))
+            for j, (it, _put, _m, _hw, labels, row_weights, _r) in \
+                    enumerate(group):
+                tl, pr = _to_host({k: v[j] for k, v in task_losses.items()},
+                                  {k: v[j] for k, v in preds.items()})
+                log_step(it, lrs[j], (losses[j], tl, pr), labels,
+                         row_weights)
+        else:
+            # tail < K (or mixed image sizes): single-step jit
+            for j, (it, put, mask, hw, labels, row_weights, rng) in \
+                    enumerate(group):
+                loss, task_losses, preds = trainer.fused_sparse_step(
+                    put["idx"], put["val"], hw, mask, put["labels"],
+                    put["w"], rng, lrs[j])
+                tl, pr = _to_host(task_losses, preds)
+                log_step(it, lrs[j], (loss, tl, pr), labels, row_weights)
+
+    group = []
+    for item in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+        group.append(item)
+        if len(group) == K:
+            run_group(group)
+            group = []
+    if group:
+        run_group(group)
+    return last_lr
+
+
 def _train_epoch_pipelined(trainer, loader, epoch, logger, conf, tracker,
                            base_rng, steps_per_epoch):
     last_lr = 0.0
@@ -317,14 +394,18 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
     tracker = tracker or EfficiencyTracker(conf)
     last_lr = 0.0
 
+    grouped = conf.steps_per_dispatch > 1 and not conf.track_efficiency
+    # (track_efficiency keeps the K=1 paths so per-step timing stays exact)
     if _use_pipeline(conf):
-        if conf.steps_per_dispatch > 1 and not conf.track_efficiency:
-            # K steps per dispatch (track_efficiency keeps the K=1 path so
-            # its per-step timing semantics stay exact)
+        if grouped:
             return _train_epoch_grouped(trainer, loader, epoch, logger,
                                         conf, base_rng, steps_per_epoch)
         return _train_epoch_pipelined(trainer, loader, epoch, logger, conf,
                                       tracker, base_rng, steps_per_epoch)
+    if (grouped and conf.sparse_input and conf.eager
+            and conf.B_seq == conf.B):
+        return _train_epoch_sparse_grouped(trainer, loader, epoch, logger,
+                                           conf, base_rng, steps_per_epoch)
 
     for it, batch in enumerate(loader):
         data_it = epoch * steps_per_epoch + it

@@ -357,6 +357,39 @@ class IPSTrainer:
             jnp.asarray(lrs, jnp.float32))
         return losses, task_losses, preds
 
+    def _fused_sparse_multi_impl(self, state: TrainState, flat_idx, values,
+                                 mask, labels, weights, rngs, lrs, img_hw):
+        """K fused sparse (densify+select+train) steps in one dispatch —
+        the sparse-path analog of `_fused_multi_impl`."""
+        def body(st, xs):
+            st, loss, task_losses, preds = self._fused_sparse_impl(
+                st, xs["i"], xs["v"], xs["m"], xs["lab"], xs["w"],
+                xs["rng"], xs["lr"], img_hw)
+            return st, (loss, task_losses, preds)
+
+        xs = {"i": flat_idx, "v": values, "m": mask, "lab": labels,
+              "w": weights, "rng": rngs, "lr": lrs}
+        state, (losses, task_losses, preds) = jax.lax.scan(body, state, xs)
+        return state, losses, task_losses, preds
+
+    def _jit_fused_sparse_multi(self):
+        donate = (0,) if self.conf.donate_buffers else ()
+        return jax.jit(self._fused_sparse_multi_impl, donate_argnums=donate,
+                       static_argnums=(8,))
+
+    def fused_sparse_multi_step(self, flat_idx, values, img_hw, mask, labels,
+                                weights, rngs, lrs):
+        """K sparse fused steps per dispatch; leading (K,) step axis on
+        every batch input, same per-step semantics as K
+        `fused_sparse_step` calls."""
+        self._require_opt()
+        if not hasattr(self, "_fused_sparse_multi"):
+            self._fused_sparse_multi = self._jit_fused_sparse_multi()
+        self.state, losses, task_losses, preds = self._fused_sparse_multi(
+            self.state, flat_idx, values, mask, labels, weights, rngs,
+            jnp.asarray(lrs, jnp.float32), tuple(img_hw))
+        return losses, task_losses, preds
+
     # -- fused sparse select+train: ONE dispatch from (idx, val) pairs ------
     def _jit_fused_sparse(self):
         """jit factory for the fused sparse step (overridden under a mesh).

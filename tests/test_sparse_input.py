@@ -96,6 +96,39 @@ class TestSparseDataset:
             MegapixelMNIST(conf, train=True)
 
 
+def test_sparse_steps_per_dispatch_matches_single(sparse_dir):
+    """K sparse fused steps per dispatch == K single dispatches (10
+    samples -> 3 loader batches: one K=2 group + a tail single)."""
+    from ips_tpu.data.loader import DataLoader
+    from ips_tpu.train.loop import train_one_epoch
+    from ips_tpu.train.metrics import MetricsLogger
+    from ips_tpu.train.steps import IPSTrainer
+
+    def run(K):
+        conf = _conf(sparse_dir, steps_per_dispatch=K)
+        train = MegapixelMNIST(conf, train=True)
+        loader = DataLoader(train, batch_size=conf.B_seq, shuffle=False)
+        trainer = IPSTrainer(conf)
+        log = MetricsLogger(conf.task_list)
+        lr = train_one_epoch(trainer, loader, 0, log, conf)
+        return trainer, log, lr
+
+    t1, l1, lr1 = run(1)
+    tK, lK, lrK = run(2)
+    assert lr1 == lrK
+    assert len(lK.y_trues["majority"]) == 10
+    l1.compute_metric()
+    lK.compute_metric()
+    np.testing.assert_allclose(
+        np.asarray(l1.losses_epoch["majority"], np.float64),
+        np.asarray(lK.losses_epoch["majority"], np.float64), rtol=1e-5)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(tK.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
 def test_full_loop_sparse(sparse_dir):
     from ips_tpu.data.loader import DataLoader
     from ips_tpu.train.loop import evaluate, train_one_epoch
