@@ -13,7 +13,7 @@ two TPU-first changes:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +203,16 @@ def _prefetched(iterable, prepare, depth: int):
         yield buf.popleft()
 
 
+class _Prepped(NamedTuple):
+    """One loader batch after prepare: device placements issued, host
+    labels/weights retained for metric logging."""
+    it: int
+    payload: dict           # path-specific device arrays
+    labels: dict            # host label arrays
+    row_weights: "np.ndarray"
+    rng: "jax.Array"
+
+
 def _prep_fused(trainer, conf, base_rng, it, batch):
     """Everything up to (and including) the async device placement for one
     eager fused-path loader batch."""
@@ -213,7 +223,24 @@ def _prep_fused(trainer, conf, base_rng, it, batch):
     patches, mask = _put_select(trainer, batch["input"],
                                 _batch_mask(batch, B_seq, N))
     put = trainer.put_batch({"labels": labels, "w": row_weights})
-    return it, patches, mask, put, labels, row_weights, rng
+    return _Prepped(it, {"patches": patches, "mask": mask, "put": put},
+                    labels, row_weights, rng)
+
+
+def _yields_sparse(loader) -> bool:
+    """Does the loader's dataset emit (input_idx, input_val) samples?
+
+    Probed on the dataset (not the loader iterator, which would consume a
+    shuffle order): the K=1 sparse fast path checks per batch and falls
+    through to the dense/assembler path for datasets that yield dense
+    'input' despite sparse_input=True — the grouped path must degrade the
+    same way rather than raise mid-epoch.
+    """
+    ds = getattr(loader, "dataset", None)
+    try:
+        return ds is not None and len(ds) > 0 and "input_idx" in ds[0]
+    except Exception:
+        return False
 
 
 def _use_pipeline(conf: Config) -> bool:
@@ -224,67 +251,31 @@ def _use_pipeline(conf: Config) -> bool:
 
 def _train_epoch_grouped(trainer, loader, epoch, logger, conf,
                          base_rng, steps_per_epoch):
-    """steps_per_dispatch > 1: K fused steps per device dispatch.
-
-    Consumes the same prefetched prepare pipeline as the K=1 path, stacks
-    K prepared batches along a leading step axis and runs ONE
-    `fused_multi_step` — identical update sequence (same per-step rng/lr
-    as `_train_epoch_pipelined` would use), with per-dispatch overhead
-    paid once per K steps. A trailing group smaller than K falls back to
-    the single-step jit, so no zero-weight fake steps ever touch BN
-    statistics or AdamW weight decay.
-    """
-    K = conf.steps_per_dispatch
-    last_lr = 0.0
+    """steps_per_dispatch > 1 on the dense eager path: K fused steps per
+    device dispatch — identical update sequence (same per-step rng/lr as
+    `_train_epoch_pipelined` would use), per-dispatch overhead paid once
+    per K steps."""
     prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
 
-    def run_group(group):
-        nonlocal last_lr
-        lrs = [warmup_cosine_lr(epoch * steps_per_epoch + g[0] + 1,
-                                steps_per_epoch, conf.n_epoch,
-                                conf.n_epoch_warmup, conf.lr)
-               for g in group]
-        last_lr = lrs[-1]
-        if len(group) == K:
-            patches = jnp.stack([g[1] for g in group])
-            mask = jnp.stack([g[2] for g in group])
-            lab_dev = {k: jnp.stack([g[3]["labels"][k] for g in group])
-                       for k in group[0][3]["labels"]}
-            w = jnp.stack([g[3]["w"] for g in group])
-            rngs = jnp.stack([g[6] for g in group])
-            losses, task_losses, preds = trainer.fused_multi_step(
-                patches, mask, lab_dev, w, rngs, jnp.asarray(lrs))
-            for j, (it, _p, _m, _put, labels, row_weights, _r) in \
-                    enumerate(group):
-                _maybe_log_step(conf, epoch * steps_per_epoch + it,
-                                losses[j], lrs[j])
-                tl, pr = _to_host({k: v[j] for k, v in task_losses.items()},
-                                  {k: v[j] for k, v in preds.items()})
-                logger.update(tl, pr,
-                              {k: np.asarray(v) for k, v in labels.items()},
-                              weights=np.asarray(row_weights))
-        else:
-            # tail smaller than K: the plain single-step jit
-            for j, (it, patches, mask, put, labels, row_weights, rng) in \
-                    enumerate(group):
-                loss, task_losses, preds = trainer.fused_step(
-                    patches, mask, put["labels"], put["w"], rng, lrs[j])
-                _maybe_log_step(conf, epoch * steps_per_epoch + it, loss,
-                                lrs[j])
-                tl, pr = _to_host(task_losses, preds)
-                logger.update(tl, pr,
-                              {k: np.asarray(v) for k, v in labels.items()},
-                              weights=np.asarray(row_weights))
+    def dispatch_multi(group, lrs):
+        puts = [p.payload["put"] for p in group]
+        return trainer.fused_multi_step(
+            jnp.stack([p.payload["patches"] for p in group]),
+            jnp.stack([p.payload["mask"] for p in group]),
+            {k: jnp.stack([q["labels"][k] for q in puts])
+             for k in puts[0]["labels"]},
+            jnp.stack([q["w"] for q in puts]),
+            jnp.stack([p.rng for p in group]), jnp.asarray(lrs))
 
-    group = []
-    for item in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
-        group.append(item)
-        if len(group) == K:
-            run_group(group)
-            group = []
-    if group:
-        run_group(group)
-    return last_lr
+    def dispatch_single(p, lr):
+        q = p.payload
+        return trainer.fused_step(q["patches"], q["mask"],
+                                  q["put"]["labels"], q["put"]["w"], p.rng,
+                                  lr)
+
+    return _grouped_epoch(loader, epoch, logger, conf, base_rng,
+                          steps_per_epoch, prep, dispatch_multi,
+                          dispatch_single)
 
 
 def _prep_sparse(trainer, conf, base_rng, it, batch):
@@ -301,60 +292,56 @@ def _prep_sparse(trainer, conf, base_rng, it, batch):
                              "labels": labels, "w": row_weights})
     mask = trainer.put_batch(
         {"m": _batch_mask(batch, conf.B, conf.N)}, patch_dim=1)["m"]
-    return it, put, mask, hw, labels, row_weights, rng
+    return _Prepped(it, {"put": put, "mask": mask, "hw": hw}, labels,
+                    row_weights, rng)
 
 
-def _train_epoch_sparse_grouped(trainer, loader, epoch, logger, conf,
-                                base_rng, steps_per_epoch):
-    """steps_per_dispatch > 1 on the sparse fast path: K densify+select+
-    train steps per dispatch (same structure as _train_epoch_grouped)."""
+def _grouped_epoch(loader, epoch, logger, conf, base_rng, steps_per_epoch,
+                   prep, dispatch_multi, dispatch_single, group_key=None):
+    """Shared driver for steps_per_dispatch > 1 epochs.
+
+    Stacks K prepared batches and dispatches once (`dispatch_multi`); a
+    trailing group smaller than K — or one whose items disagree on
+    `group_key` (e.g. image size) — falls back to the single-step jit
+    (`dispatch_single`), so no zero-weight fake steps ever touch BN
+    statistics or AdamW weight decay. The prefetch depth is raised to
+    K+1 so the next group's host->HBM transfers stay in flight while the
+    current dispatch runs (depth < K would serialize them behind the
+    group sync).
+    """
     K = conf.steps_per_dispatch
     last_lr = 0.0
-    prep = lambda ib: _prep_sparse(trainer, conf, base_rng, ib[0], ib[1])
 
-    def log_step(it, lr, loss_tl_preds, labels, row_weights):
-        loss, tl, pr = loss_tl_preds
-        _maybe_log_step(conf, epoch * steps_per_epoch + it, loss, lr)
-        logger.update(tl, pr, {k: np.asarray(v) for k, v in labels.items()},
-                      weights=np.asarray(row_weights))
+    def log_step(p, lr, loss, tl, pr):
+        _maybe_log_step(conf, epoch * steps_per_epoch + p.it, loss, lr)
+        logger.update(tl, pr,
+                      {k: np.asarray(v) for k, v in p.labels.items()},
+                      weights=np.asarray(p.row_weights))
 
     def run_group(group):
         nonlocal last_lr
-        lrs = [warmup_cosine_lr(epoch * steps_per_epoch + g[0] + 1,
+        lrs = [warmup_cosine_lr(epoch * steps_per_epoch + p.it + 1,
                                 steps_per_epoch, conf.n_epoch,
                                 conf.n_epoch_warmup, conf.lr)
-               for g in group]
+               for p in group]
         last_lr = lrs[-1]
-        hws = {g[3] for g in group}
-        if len(group) == K and len(hws) == 1:
-            idx_k = jnp.stack([g[1]["idx"] for g in group])
-            val_k = jnp.stack([g[1]["val"] for g in group])
-            lab_k = {k: jnp.stack([g[1]["labels"][k] for g in group])
-                     for k in group[0][1]["labels"]}
-            w_k = jnp.stack([g[1]["w"] for g in group])
-            mask_k = jnp.stack([g[2] for g in group])
-            rngs = jnp.stack([g[6] for g in group])
-            losses, task_losses, preds = trainer.fused_sparse_multi_step(
-                idx_k, val_k, group[0][3], mask_k, lab_k, w_k, rngs,
-                jnp.asarray(lrs))
-            for j, (it, _put, _m, _hw, labels, row_weights, _r) in \
-                    enumerate(group):
+        homogeneous = (group_key is None
+                       or len({group_key(p) for p in group}) == 1)
+        if len(group) == K and homogeneous:
+            losses, task_losses, preds = dispatch_multi(group, lrs)
+            for j, p in enumerate(group):
                 tl, pr = _to_host({k: v[j] for k, v in task_losses.items()},
                                   {k: v[j] for k, v in preds.items()})
-                log_step(it, lrs[j], (losses[j], tl, pr), labels,
-                         row_weights)
+                log_step(p, lrs[j], losses[j], tl, pr)
         else:
-            # tail < K (or mixed image sizes): single-step jit
-            for j, (it, put, mask, hw, labels, row_weights, rng) in \
-                    enumerate(group):
-                loss, task_losses, preds = trainer.fused_sparse_step(
-                    put["idx"], put["val"], hw, mask, put["labels"],
-                    put["w"], rng, lrs[j])
+            for j, p in enumerate(group):
+                loss, task_losses, preds = dispatch_single(p, lrs[j])
                 tl, pr = _to_host(task_losses, preds)
-                log_step(it, lrs[j], (loss, tl, pr), labels, row_weights)
+                log_step(p, lrs[j], loss, tl, pr)
 
+    depth = max(conf.prefetch_depth, K + 1)
     group = []
-    for item in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+    for item in _prefetched(enumerate(loader), prep, depth):
         group.append(item)
         if len(group) == K:
             run_group(group)
@@ -364,23 +351,54 @@ def _train_epoch_sparse_grouped(trainer, loader, epoch, logger, conf,
     return last_lr
 
 
+def _train_epoch_sparse_grouped(trainer, loader, epoch, logger, conf,
+                                base_rng, steps_per_epoch):
+    """steps_per_dispatch > 1 on the sparse fast path: K densify+select+
+    train steps per dispatch."""
+    prep = lambda ib: _prep_sparse(trainer, conf, base_rng, ib[0], ib[1])
+
+    def dispatch_multi(group, lrs):
+        puts = [p.payload["put"] for p in group]
+        return trainer.fused_sparse_multi_step(
+            jnp.stack([q["idx"] for q in puts]),
+            jnp.stack([q["val"] for q in puts]),
+            group[0].payload["hw"],
+            jnp.stack([p.payload["mask"] for p in group]),
+            {k: jnp.stack([q["labels"][k] for q in puts])
+             for k in puts[0]["labels"]},
+            jnp.stack([q["w"] for q in puts]),
+            jnp.stack([p.rng for p in group]), jnp.asarray(lrs))
+
+    def dispatch_single(p, lr):
+        q = p.payload
+        return trainer.fused_sparse_step(
+            q["put"]["idx"], q["put"]["val"], q["hw"], q["mask"],
+            q["put"]["labels"], q["put"]["w"], p.rng, lr)
+
+    return _grouped_epoch(loader, epoch, logger, conf, base_rng,
+                          steps_per_epoch, prep, dispatch_multi,
+                          dispatch_single,
+                          group_key=lambda p: p.payload["hw"])
+
+
 def _train_epoch_pipelined(trainer, loader, epoch, logger, conf, tracker,
                            base_rng, steps_per_epoch):
     last_lr = 0.0
     prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
-    for (it, patches, mask, put, labels, row_weights,
-         rng) in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
-        data_it = epoch * steps_per_epoch + it
-        is_last = it == steps_per_epoch - 1
+    for p in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+        data_it = epoch * steps_per_epoch + p.it
+        is_last = p.it == steps_per_epoch - 1
         tracker.start()
         last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
                                    conf.n_epoch, conf.n_epoch_warmup,
                                    conf.lr)
         loss, task_losses, preds = trainer.fused_step(
-            patches, mask, put["labels"], put["w"], rng, last_lr)
+            p.payload["patches"], p.payload["mask"],
+            p.payload["put"]["labels"], p.payload["put"]["w"], p.rng,
+            last_lr)
         _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
-                        last_lr, loss, task_losses, preds, labels,
-                        row_weights)
+                        last_lr, loss, task_losses, preds, p.labels,
+                        p.row_weights)
     tracker.finish_epoch(epoch)
     return last_lr
 
@@ -403,7 +421,7 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
         return _train_epoch_pipelined(trainer, loader, epoch, logger, conf,
                                       tracker, base_rng, steps_per_epoch)
     if (grouped and conf.sparse_input and conf.eager
-            and conf.B_seq == conf.B):
+            and conf.B_seq == conf.B and _yields_sparse(loader)):
         return _train_epoch_sparse_grouped(trainer, loader, epoch, logger,
                                            conf, base_rng, steps_per_epoch)
 
@@ -488,13 +506,14 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
 
 def _eval_pipelined(trainer, loader, logger, conf, base_rng):
     prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
-    for (_, patches, mask, put, labels, row_weights,
-         rng) in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+    for p in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
         loss, task_losses, preds = trainer.fused_eval_step(
-            patches, mask, put["labels"], put["w"], rng)
+            p.payload["patches"], p.payload["mask"],
+            p.payload["put"]["labels"], p.payload["put"]["w"], p.rng)
         tl, pr = _to_host(task_losses, preds)
-        logger.update(tl, pr, {k: np.asarray(v) for k, v in labels.items()},
-                      weights=row_weights)
+        logger.update(tl, pr,
+                      {k: np.asarray(v) for k, v in p.labels.items()},
+                      weights=p.row_weights)
 
 
 def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):

@@ -19,9 +19,7 @@ Results land in results/fused_loop_probe.json.
 from __future__ import annotations
 
 import json
-import statistics
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -35,21 +33,9 @@ enable_compilation_cache()
 K = 8
 
 
-def host_sync(out):
-    float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
-
-
-def timeit(fn, n_warmup=2, n_iter=4, n_groups=3):
-    for _ in range(n_warmup):
-        host_sync(fn())
-    groups = []
-    for _ in range(n_groups):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = fn()
-        host_sync(out)
-        groups.append((time.perf_counter() - t0) / n_iter)
-    return statistics.median(groups)
+def timeit(fn, n_warmup=2, n_iter=4):
+    import bench
+    return bench._time_steps(fn, n_warmup, n_iter)
 
 
 def main():

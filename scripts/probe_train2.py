@@ -25,9 +25,7 @@ from __future__ import annotations
 
 import functools
 import json
-import statistics
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -42,20 +40,9 @@ enable_compilation_cache()
 K_REP = 16
 
 
-def _timed(jitted, *args, n_warmup=2, n_iter=3, n_groups=3):
-    def sync(out):
-        float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
-
-    for _ in range(n_warmup):
-        sync(jitted(*args))
-    groups = []
-    for _ in range(n_groups):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = jitted(*args)
-        sync(out)
-        groups.append((time.perf_counter() - t0) / n_iter)
-    return statistics.median(groups)
+def _timed(jitted, *args, n_warmup=2, n_iter=3):
+    import bench
+    return bench._time_steps(lambda: jitted(*args), n_warmup, n_iter)
 
 
 def time_op(fn, x, *consts):
