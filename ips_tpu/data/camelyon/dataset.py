@@ -62,10 +62,18 @@ class CamelyonFeatures(Dataset):
         import h5py
         with h5py.File(self.path, "r") as f:
             self.slide_names = list(f.keys())
-            max_n = max((f[s]["img"].shape[0] for s in self.slide_names),
-                        default=conf.M)
+            self._ns = [f[s]["img"].shape[0] for s in self.slide_names]
+        max_n = max(self._ns, default=conf.M)
         self.buckets = (list(conf.bucket_sizes) if conf.bucket_sizes
                         else default_buckets(max_n, conf.M, conf.I))
+
+    def bucket_of(self, i: int) -> int:
+        """Padded bucket size of slide i (for bucket-batched loading:
+        DataLoader(bucket_fn=ds.bucket_of) lets B_seq > 1 batch
+        same-shape slides — the reference is locked to B_seq=1,
+        config/camelyon_config.yml:4-5)."""
+        j = bisect_left(self.buckets, self._ns[i])
+        return self.buckets[min(j, len(self.buckets) - 1)]
 
     def _file(self):
         import h5py

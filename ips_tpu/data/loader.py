@@ -49,7 +49,7 @@ class DataLoader:
                  num_workers: int = 0, drop_last: bool = False,
                  prefetch: int = 2, seed: int = 0,
                  collate_fn=None, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, bucket_fn=None):
         """process_index/process_count: multi-host data sharding. Every
         process draws the SAME global batch order (seeded rng), then loads
         only its contiguous batch_size/process_count slice of each batch —
@@ -57,6 +57,13 @@ class DataLoader:
         global array with parallel.distributed.make_global_batch. With
         process_count > 1 the final ragged batch is dropped so all
         processes agree on shapes.
+
+        bucket_fn(i) -> hashable: when given, every batch contains only
+        samples of one bucket (e.g. one padded shape), so variable-N
+        datasets can batch B_seq > 1 — the reference is locked to
+        B_seq=1 for camelyon because torch cannot stack ragged slides
+        (reference config/camelyon_config.yml:4-5). Within-bucket order
+        and the order of batches are both shuffled when shuffle=True.
         """
         if process_count > 1 and batch_size % process_count:
             raise ValueError(
@@ -75,21 +82,42 @@ class DataLoader:
         self.collate_fn = collate_fn or _collate
         self.process_index = process_index
         self.process_count = max(1, process_count)
+        self.bucket_fn = bucket_fn
         self._rng = np.random.default_rng(seed)
+        if bucket_fn is not None:
+            self._bucket_groups = {}
+            for i in range(len(dataset)):
+                self._bucket_groups.setdefault(bucket_fn(i), []).append(i)
 
-    def __len__(self) -> int:
-        n = len(self.dataset)
+    def _n_batches(self, n: int) -> int:
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def __len__(self) -> int:
+        if self.bucket_fn is not None:
+            return sum(self._n_batches(len(g))
+                       for g in self._bucket_groups.values())
+        return self._n_batches(len(self.dataset))
+
     def _batch_indices(self) -> List[np.ndarray]:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            self._rng.shuffle(idx)
-        nb = len(self)
-        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(nb)]
+        if self.bucket_fn is not None:
+            batches = []
+            for key in sorted(self._bucket_groups):
+                g = np.asarray(self._bucket_groups[key])
+                if self.shuffle:
+                    self._rng.shuffle(g)
+                batches.extend(
+                    g[j * self.batch_size:(j + 1) * self.batch_size]
+                    for j in range(self._n_batches(len(g))))
+            if self.shuffle:
+                self._rng.shuffle(batches)
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                self._rng.shuffle(idx)
+            batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                       for i in range(len(self))]
         if self.process_count > 1:
             k = self.batch_size // self.process_count
             lo = self.process_index * k

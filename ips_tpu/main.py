@@ -47,10 +47,20 @@ def build_datasets(conf: Config, dataset: str):
 
 def build_loaders(conf: Config, train_data, test_data):
     from ips_tpu.data.loader import DataLoader
+
+    def bucket_fn(data):
+        # Variable-N datasets batch B_seq > 1 by grouping same-bucket
+        # slides (reference is locked to B_seq=1, camelyon_config.yml:4-5)
+        if conf.B_seq > 1 and hasattr(data, "bucket_of"):
+            return data.bucket_of
+        return None
+
     train_loader = DataLoader(train_data, batch_size=conf.B_seq, shuffle=True,
-                              num_workers=conf.n_worker, seed=conf.seed)
+                              num_workers=conf.n_worker, seed=conf.seed,
+                              bucket_fn=bucket_fn(train_data))
     test_loader = DataLoader(test_data, batch_size=conf.B_seq, shuffle=False,
-                             num_workers=conf.n_worker)
+                             num_workers=conf.n_worker,
+                             bucket_fn=bucket_fn(test_data))
     return train_loader, test_loader
 
 

@@ -275,7 +275,8 @@ def _train_epoch_grouped(trainer, loader, epoch, logger, conf,
 
     return _grouped_epoch(loader, epoch, logger, conf, base_rng,
                           steps_per_epoch, prep, dispatch_multi,
-                          dispatch_single)
+                          dispatch_single,
+                          group_key=lambda p: p.payload["patches"].shape)
 
 
 def _prep_sparse(trainer, conf, base_rng, it, batch):

@@ -262,6 +262,44 @@ class TestFeatureDataset:
         assert len(batches) == 6
 
 
+    @pytest.mark.parametrize("spd", [1, 2])
+    def test_bucket_batched_training(self, tmp_path, feat_conf, spd):
+        """B_seq > 1 on variable-N features via bucket-batched loading —
+        the fused select+train path (and steps_per_dispatch) now applies
+        to the camelyon workload, which the reference locks to B_seq=1
+        (config/camelyon_config.yml:4-5). Every slide must be trained on
+        and logged exactly once per epoch."""
+        from ips_tpu.data.loader import DataLoader
+        from ips_tpu.main import build_loaders
+        from ips_tpu.train.loop import evaluate, train_one_epoch
+        from ips_tpu.train.metrics import MetricsLogger
+        from ips_tpu.train.steps import IPSTrainer
+
+        path = str(tmp_path / "synth.h5")
+        make_synth_features(path, n_slides=10, feat_dim=feat_conf.n_chan_in,
+                            n_range=(10, 70))        # spans >= 2 buckets
+        conf = feat_conf.replace(data_dir=str(tmp_path),
+                                 train_fname="synth.h5",
+                                 test_fname="synth.h5", M=8, I=8,
+                                 B=4, B_seq=4, mask_padding=True,
+                                 steps_per_dispatch=spd)
+        ds = CamelyonFeatures(conf, train=True)
+        assert len({ds.bucket_of(i) for i in range(len(ds))}) >= 2
+        loader, test_loader = build_loaders(conf, ds,
+                                            CamelyonFeatures(conf, False))
+        assert loader.bucket_fn is not None
+        trainer = IPSTrainer(conf)
+        log = MetricsLogger(conf.task_list)
+        train_one_epoch(trainer, loader, 0, log, conf)
+        assert len(log.y_trues["metastases"]) == 10
+        log.compute_metric()
+        assert np.isfinite(log.losses_epoch["metastases"][0])
+        evaluate(trainer, test_loader, log, conf)
+        assert len(log.y_trues["metastases"]) == 10
+        log.compute_metric()
+        assert 0.0 <= log.metrics["metastases"][-1] <= 1.0
+
+
 class TestSynthCorpus:
     def test_generator_layout_and_labels(self, tmp_path):
         """The synthetic corpus must walk through the UNMODIFIED

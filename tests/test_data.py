@@ -66,6 +66,30 @@ class TestDataLoader:
         ys2 = np.concatenate([b["y"] for b in dl])
         assert not np.array_equal(ys, ys2)  # reshuffles per epoch
 
+    def test_bucket_fn_batches_are_homogeneous(self):
+        """bucket_fn groups every batch by bucket (variable-N batching:
+        the reference is locked to B_seq=1 for camelyon,
+        config/camelyon_config.yml:4-5)."""
+        buckets = [10, 20, 10, 20, 10, 20, 10, 20, 10, 10, 20, 7]
+        dl = DataLoader(_Rand(12), batch_size=4, shuffle=True, seed=3,
+                        bucket_fn=lambda i: buckets[i])
+        batches = list(dl)
+        assert len(dl) == len(batches)
+        ys = np.concatenate([b["y"] for b in batches])
+        assert sorted(ys.tolist()) == list(range(12))    # each sample once
+        for b in batches:
+            bs = {buckets[int(y)] for y in b["y"]}
+            assert len(bs) == 1, f"mixed-bucket batch: {b['y']}"
+        # 5x bucket-10 -> 2 batches, 5x bucket-20 -> 2, 1x bucket-7 -> 1
+        assert len(batches) == 5
+
+    def test_bucket_fn_drop_last(self):
+        buckets = [0] * 5 + [1] * 6
+        dl = DataLoader(_Rand(11), batch_size=4, drop_last=True,
+                        bucket_fn=lambda i: buckets[i])
+        assert len(dl) == 2
+        assert all(len(b["y"]) == 4 for b in dl)
+
     def test_worker_error_propagates(self):
         class Bad(_Rand):
             def __getitem__(self, i):
