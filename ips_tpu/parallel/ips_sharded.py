@@ -169,6 +169,14 @@ class ShardedIPSTrainer(IPSTrainer):
                        in_shardings=(rep, kdatp, kdatp, kdat, kdat, rep,
                                      rep))
 
+    def _jit_fused_eval_multi(self):
+        rep, dat, datp = self._shardings
+        kdatp = NamedSharding(self.mesh, P(None, DATA_AXIS, PATCH_AXIS))
+        kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(self._fused_eval_multi_impl,
+                       in_shardings=(rep, rep, kdatp, kdatp, kdat, kdat,
+                                     rep))
+
     def _jit_fused_sparse(self):
         rep, dat, datp = self._shardings
         donate = (0,) if self.conf.donate_buffers else ()

@@ -507,14 +507,55 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
 
 def _eval_pipelined(trainer, loader, logger, conf, base_rng):
     prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
-    for p in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+    K = conf.steps_per_dispatch
+
+    def log_one(p, tl, pr):
+        logger.update(tl, pr,
+                      {k: np.asarray(v) for k, v in p.labels.items()},
+                      weights=p.row_weights)
+
+    def eval_single(p):
         loss, task_losses, preds = trainer.fused_eval_step(
             p.payload["patches"], p.payload["mask"],
             p.payload["put"]["labels"], p.payload["put"]["w"], p.rng)
         tl, pr = _to_host(task_losses, preds)
-        logger.update(tl, pr,
-                      {k: np.asarray(v) for k, v in p.labels.items()},
-                      weights=p.row_weights)
+        log_one(p, tl, pr)
+
+    if K <= 1:
+        for p in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+            eval_single(p)
+        return
+
+    # steps_per_dispatch > 1: K eval batches per dispatch; groups with
+    # mixed shapes (bucket batching) or a short tail fall back to singles
+    def flush(group):
+        if (len(group) == K
+                and len({p.payload["patches"].shape for p in group}) == 1):
+            puts = [p.payload["put"] for p in group]
+            _, task_losses, preds = trainer.fused_eval_multi_step(
+                jnp.stack([p.payload["patches"] for p in group]),
+                jnp.stack([p.payload["mask"] for p in group]),
+                {k: jnp.stack([q["labels"][k] for q in puts])
+                 for k in puts[0]["labels"]},
+                jnp.stack([q["w"] for q in puts]),
+                jnp.stack([p.rng for p in group]))
+            for j, p in enumerate(group):
+                tl, pr = _to_host({k: v[j] for k, v in task_losses.items()},
+                                  {k: v[j] for k, v in preds.items()})
+                log_one(p, tl, pr)
+        else:
+            for p in group:
+                eval_single(p)
+
+    group = []
+    for p in _prefetched(enumerate(loader), prep,
+                         max(conf.prefetch_depth, K + 1)):
+        group.append(p)
+        if len(group) == K:
+            flush(group)
+            group = []
+    if group:
+        flush(group)
 
 
 def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):

@@ -297,6 +297,35 @@ class IPSTrainer:
         return self._fused_eval(self.state.params, self.state.batch_stats,
                                 patches, mask, labels, weights, rng)
 
+    def _fused_eval_multi_impl(self, params, batch_stats, patches, mask,
+                               labels, weights, rngs):
+        """K fused select+eval batches in one dispatch (lax.scan over the
+        leading batch axis; params are loop constants — eval carries no
+        state)."""
+        def body(carry, xs):
+            out = self._fused_eval_impl(params, batch_stats, xs["p"],
+                                        xs["m"], xs["lab"], xs["w"],
+                                        xs["rng"])
+            return carry, out
+
+        xs = {"p": patches, "m": mask, "lab": labels, "w": weights,
+              "rng": rngs}
+        _, (losses, task_losses, preds) = jax.lax.scan(
+            body, jnp.zeros(()), xs)
+        return losses, task_losses, preds
+
+    def _jit_fused_eval_multi(self):
+        """jit factory for the multi-batch eval (overridden under a mesh)."""
+        return jax.jit(self._fused_eval_multi_impl)
+
+    def fused_eval_multi_step(self, patches, mask, labels, weights, rngs):
+        """K eval batches per device dispatch (leading (K,) axis)."""
+        if not hasattr(self, "_fused_eval_multi"):
+            self._fused_eval_multi = self._jit_fused_eval_multi()
+        return self._fused_eval_multi(self.state.params,
+                                      self.state.batch_stats, patches, mask,
+                                      labels, weights, rngs)
+
     # -- fused select+train (B_seq == B fast path) --------------------------
     def _fused_impl(self, state: TrainState, patches, mask, labels, weights,
                     rng, lr):

@@ -201,6 +201,29 @@ def test_steps_per_dispatch_matches_single(overfit_conf, K):
                                    rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("K", [2, 3])
+def test_eval_steps_per_dispatch_matches_single(overfit_conf, K):
+    """K eval batches per dispatch == per-batch eval (16 samples -> 4
+    batches: K=3 exercises the short-tail fallback)."""
+    conf1 = overfit_conf.replace(n_epoch=1)
+    confK = conf1.replace(steps_per_dispatch=K)
+    trainer, _, _ = _run_epochs(conf1, 1)
+    data = SignalPatches(conf1, n_samples=16)
+    eval_loader = DataLoader(data, batch_size=conf1.B_seq, shuffle=False)
+    l1 = MetricsLogger(conf1.task_list)
+    lK = MetricsLogger(confK.task_list)
+    evaluate(trainer, eval_loader, l1, conf1)
+    evaluate(trainer, eval_loader, lK, confK)
+    l1.compute_metric()
+    lK.compute_metric()
+    for task in ("majority", "multi"):
+        np.testing.assert_allclose(
+            np.asarray(l1.losses_epoch[task], np.float64),
+            np.asarray(lK.losses_epoch[task], np.float64), rtol=1e-6)
+        np.testing.assert_allclose(l1.metrics[task], lK.metrics[task],
+                                   rtol=1e-6)
+
+
 def test_prefetch_pipeline_matches_serial(overfit_conf):
     """prefetch_depth=2 overlaps batch k+1's device_put with batch k's
     step; it must be bit-identical to the serial path (same fold_in rng
