@@ -300,6 +300,36 @@ class TestFeatureDataset:
         assert 0.0 <= log.metrics["metastases"][-1] <= 1.0
 
 
+    def test_bucket_batched_training_on_mesh(self, tmp_path, feat_conf):
+        """Bucket-batched B_seq > 1 under the data-parallel mesh: per-
+        bucket shapes each compile against the sharded jits, params stay
+        replicated."""
+        import jax
+
+        from ips_tpu.main import build_loaders, build_trainer
+        from ips_tpu.train.loop import train_one_epoch
+        from ips_tpu.train.metrics import MetricsLogger
+
+        path = str(tmp_path / "synth.h5")
+        make_synth_features(path, n_slides=10, feat_dim=feat_conf.n_chan_in,
+                            n_range=(10, 70))
+        conf = feat_conf.replace(data_dir=str(tmp_path),
+                                 train_fname="synth.h5",
+                                 test_fname="synth.h5", M=8, I=8,
+                                 B=4, B_seq=4, mask_padding=True,
+                                 mesh_data=4)
+        ds = CamelyonFeatures(conf, train=True)
+        loader, _ = build_loaders(conf, ds, CamelyonFeatures(conf, False))
+        trainer = build_trainer(conf)
+        from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer
+        assert isinstance(trainer, ShardedIPSTrainer)
+        log = MetricsLogger(conf.task_list)
+        train_one_epoch(trainer, loader, 0, log, conf)
+        assert len(log.y_trues["metastases"]) == 10
+        for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+            assert leaf.sharding.is_fully_replicated
+
+
 class TestSynthCorpus:
     def test_generator_layout_and_labels(self, tmp_path):
         """The synthetic corpus must walk through the UNMODIFIED
