@@ -11,8 +11,13 @@ hundred steps. Runs on CPU in ~2 minutes or on a TPU chip.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+# runnable from anywhere without installing: put the repo root on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_task(rng: np.random.Generator, n_samples: int, n_class: int,
