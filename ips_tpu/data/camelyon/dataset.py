@@ -71,9 +71,16 @@ class CamelyonFeatures(Dataset):
         """Padded bucket size of slide i (for bucket-batched loading:
         DataLoader(bucket_fn=ds.bucket_of) lets B_seq > 1 batch
         same-shape slides — the reference is locked to B_seq=1,
-        config/camelyon_config.yml:4-5)."""
+        config/camelyon_config.yml:4-5). Raises for slides exceeding the
+        largest bucket at loader-construction time, where pad_to_bucket
+        would otherwise fail mid-epoch inside a worker thread."""
         j = bisect_left(self.buckets, self._ns[i])
-        return self.buckets[min(j, len(self.buckets) - 1)]
+        if j == len(self.buckets):
+            raise ValueError(
+                f"slide {self.slide_names[i]} with {self._ns[i]} patches "
+                f"exceeds largest bucket {self.buckets[-1]}; set "
+                "conf.bucket_sizes accordingly")
+        return self.buckets[j]
 
     def _file(self):
         import h5py

@@ -51,9 +51,22 @@ class CamelyonPatches(Dataset):
         for row in self.bounds.itertuples():
             n = row.end_id - row.start_id + 1
             counts.append(min(n, max_tiles) if max_tiles else n)
+        self._ns = counts
         max_n = max(counts) if counts else conf.M
         self.buckets = (list(conf.bucket_sizes) if conf.bucket_sizes
                         else default_buckets(max_n, conf.M, conf.I))
+
+    def bucket_of(self, i: int) -> int:
+        """Padded bucket size of slide i (bucket-batched loading hook,
+        same contract as CamelyonFeatures.bucket_of)."""
+        from bisect import bisect_left
+        j = bisect_left(self.buckets, self._ns[i])
+        if j == len(self.buckets):
+            raise ValueError(
+                f"slide {self.bounds.iloc[i]['name']} has {self._ns[i]} "
+                f"tiles, exceeding the largest bucket {self.buckets[-1]}; "
+                "extend conf.bucket_sizes or set max_tiles")
+        return self.buckets[j]
 
     def __len__(self) -> int:
         return len(self.bounds)

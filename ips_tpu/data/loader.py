@@ -88,6 +88,18 @@ class DataLoader:
             self._bucket_groups = {}
             for i in range(len(dataset)):
                 self._bucket_groups.setdefault(bucket_fn(i), []).append(i)
+            if self.drop_last:
+                # With fixed bucket membership, drop_last permanently
+                # excludes every bucket smaller than batch_size (unlike
+                # the unbucketed ragged tail, whose membership reshuffles
+                # per epoch) — surface that loudly.
+                lost = sum(len(g) % self.batch_size
+                           for g in self._bucket_groups.values())
+                if lost:
+                    import sys
+                    print(f"warning: bucket-batched loader with drop_last "
+                          f"permanently excludes {lost} samples in "
+                          f"partial per-bucket batches", file=sys.stderr)
 
     def _n_batches(self, n: int) -> int:
         if self.drop_last:

@@ -298,7 +298,8 @@ def _prep_sparse(trainer, conf, base_rng, it, batch):
 
 
 def _grouped_epoch(loader, epoch, logger, conf, base_rng, steps_per_epoch,
-                   prep, dispatch_multi, dispatch_single, group_key=None):
+                   prep, dispatch_multi, dispatch_single, group_key=None,
+                   train=True):
     """Shared driver for steps_per_dispatch > 1 epochs.
 
     Stacks K prepared batches and dispatches once (`dispatch_multi`); a
@@ -314,18 +315,22 @@ def _grouped_epoch(loader, epoch, logger, conf, base_rng, steps_per_epoch,
     last_lr = 0.0
 
     def log_step(p, lr, loss, tl, pr):
-        _maybe_log_step(conf, epoch * steps_per_epoch + p.it, loss, lr)
+        if train:
+            _maybe_log_step(conf, epoch * steps_per_epoch + p.it, loss, lr)
         logger.update(tl, pr,
                       {k: np.asarray(v) for k, v in p.labels.items()},
                       weights=np.asarray(p.row_weights))
 
     def run_group(group):
         nonlocal last_lr
-        lrs = [warmup_cosine_lr(epoch * steps_per_epoch + p.it + 1,
-                                steps_per_epoch, conf.n_epoch,
-                                conf.n_epoch_warmup, conf.lr)
-               for p in group]
-        last_lr = lrs[-1]
+        if train:
+            lrs = [warmup_cosine_lr(epoch * steps_per_epoch + p.it + 1,
+                                    steps_per_epoch, conf.n_epoch,
+                                    conf.n_epoch_warmup, conf.lr)
+                   for p in group]
+            last_lr = lrs[-1]
+        else:
+            lrs = [None] * len(group)
         homogeneous = (group_key is None
                        or len({group_key(p) for p in group}) == 1)
         if len(group) == K and homogeneous:
@@ -526,36 +531,27 @@ def _eval_pipelined(trainer, loader, logger, conf, base_rng):
             eval_single(p)
         return
 
-    # steps_per_dispatch > 1: K eval batches per dispatch; groups with
-    # mixed shapes (bucket batching) or a short tail fall back to singles
-    def flush(group):
-        if (len(group) == K
-                and len({p.payload["patches"].shape for p in group}) == 1):
-            puts = [p.payload["put"] for p in group]
-            _, task_losses, preds = trainer.fused_eval_multi_step(
-                jnp.stack([p.payload["patches"] for p in group]),
-                jnp.stack([p.payload["mask"] for p in group]),
-                {k: jnp.stack([q["labels"][k] for q in puts])
-                 for k in puts[0]["labels"]},
-                jnp.stack([q["w"] for q in puts]),
-                jnp.stack([p.rng for p in group]))
-            for j, p in enumerate(group):
-                tl, pr = _to_host({k: v[j] for k, v in task_losses.items()},
-                                  {k: v[j] for k, v in preds.items()})
-                log_one(p, tl, pr)
-        else:
-            for p in group:
-                eval_single(p)
+    # steps_per_dispatch > 1: K eval batches per dispatch through the
+    # shared grouped driver (mixed-shape groups / short tails -> singles)
+    def dispatch_multi(group, lrs):
+        puts = [p.payload["put"] for p in group]
+        return trainer.fused_eval_multi_step(
+            jnp.stack([p.payload["patches"] for p in group]),
+            jnp.stack([p.payload["mask"] for p in group]),
+            {k: jnp.stack([q["labels"][k] for q in puts])
+             for k in puts[0]["labels"]},
+            jnp.stack([q["w"] for q in puts]),
+            jnp.stack([p.rng for p in group]))
 
-    group = []
-    for p in _prefetched(enumerate(loader), prep,
-                         max(conf.prefetch_depth, K + 1)):
-        group.append(p)
-        if len(group) == K:
-            flush(group)
-            group = []
-    if group:
-        flush(group)
+    def dispatch_single(p, lr):
+        return trainer.fused_eval_step(
+            p.payload["patches"], p.payload["mask"],
+            p.payload["put"]["labels"], p.payload["put"]["w"], p.rng)
+
+    _grouped_epoch(loader, 0, logger, conf, base_rng, len(loader),
+                   prep, dispatch_multi, dispatch_single,
+                   group_key=lambda p: p.payload["patches"].shape,
+                   train=False)
 
 
 def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):

@@ -62,12 +62,18 @@ def capture():
                                                 weights_k, rngs, lrs)
         return losses
 
-    jax.block_until_ready(step())          # compile + warm
-    jax.block_until_ready(step())
+    def sync(out):
+        # host value read: block_until_ready can return early on the
+        # remote axon backend (CLAUDE.md); a truncated trace would
+        # underreport per-step op times
+        float(jnp.ravel(out)[0])
+
+    sync(step())          # compile + warm
+    sync(step())
     jax.profiler.start_trace(TRACE_DIR)
     for _ in range(N_DISPATCH):
         out = step()
-    jax.block_until_ready(out)
+    sync(out)
     jax.profiler.stop_trace()
     print(f"trace captured under {TRACE_DIR}", file=sys.stderr, flush=True)
 
