@@ -59,6 +59,12 @@ def _batch(conf, rng):
     B, N = conf.B, conf.N
     patches = jax.random.uniform(rng, (B, N, *conf.patch_size,
                                        conf.n_chan_in), jnp.float32)
+    if conf.input_dtype == "bfloat16":
+        # match the real pipeline: with input_dtype=bfloat16 the loader /
+        # on-device densify ships bf16 patches (steps.py _densify_impl,
+        # streaming _host_cast) — fp32 bench inputs would add an in-jit
+        # cast the training path never pays (profiled at 0.57 ms/step)
+        patches = patches.astype(jnp.bfloat16)
     mask = jnp.ones((B, N), bool)
     labels = {
         "majority": jnp.arange(B, dtype=jnp.int32) % conf.n_class,
