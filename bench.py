@@ -10,10 +10,11 @@ Two builds are timed:
     train jits with a host round-trip between them (the structure of the
     reference training loop, training/iterative.py:103-189).
   * optimized — the TPU-native fast path: bf16 compute, fused
-    selection+train in one jit, plus the 8-steps-per-dispatch variant
-    (conf.steps_per_dispatch: one lax.scan dispatch runs 8 optimizer
-    steps, amortizing per-dispatch overhead); the headline takes the
-    faster of the two.
+    selection+train in one jit, plus the 32-steps-per-dispatch variant
+    (conf.steps_per_dispatch: one lax.scan dispatch runs 32 optimizer
+    steps, amortizing per-dispatch overhead; measured K-sweep in
+    results/ — 8/16/32 -> 31.1/30.4/29.8 ms/step); the headline takes
+    the faster of the two.
 
 Prints ONE JSON line; extra detail goes to stderr.
 """
@@ -108,7 +109,7 @@ def bench_fused(conf, n_warmup=2, n_iter=8) -> float:
     return _time_steps(step, n_warmup, n_iter)
 
 
-def bench_fused_multi(conf, K=8, n_warmup=2, n_iter=2) -> float:
+def bench_fused_multi(conf, K=32, n_warmup=2, n_iter=1) -> float:
     """Seconds per optimizer step with K steps per device dispatch
     (conf.steps_per_dispatch in the training loop; fused_multi_step).
     Amortizes the ~5 ms per-dispatch overhead of the remote-attached chip
@@ -161,7 +162,7 @@ def main():
           file=sys.stderr, flush=True)
     try:
         t_multi = bench_fused_multi(_conf("bfloat16", B))
-        print(f"optimized (bf16, fused, 8 steps/dispatch): "
+        print(f"optimized (bf16, fused, 32 steps/dispatch): "
               f"{t_multi * 1e3:.1f} ms/step", file=sys.stderr, flush=True)
         t_opt = min(t_opt, t_multi)
     except Exception as e:  # noqa: BLE001 - keep the headline JSON alive
