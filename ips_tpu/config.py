@@ -110,20 +110,45 @@ class Config:
     select_dtype: str = "default"      # 'default' | 'int8': quantize the
                                        # NO-GRAD selection encoder to int8
                                        # (v5e int8 MXU ~2x bf16); training
-                                       # forward stays full precision;
-                                       # ranking fidelity measured in
-                                       # RESULTS.md
-    preencode_select: bool = False     # encode all N patches in ONE batched
+                                       # forward stays full precision.
+                                       # MEASURED (RESULTS.md round 3, the
+                                       # epoch-44 MNIST checkpoint): END-TO-
+                                       # END SLOWER on v5e, and trained-
+                                       # params selection-set Jaccard vs
+                                       # bf16 is only 0.16 (end metrics
+                                       # happened to be unchanged on MNIST,
+                                       # delta <= 0.002, but the ranking
+                                       # itself diverges). Keep 'default'
+                                       # unless you re-measure both on your
+                                       # own task
+    preencode_select: Any = "auto"     # encode all N patches in ONE batched
                                        # dispatch and scan over cached
                                        # embedding rows (eager path only;
                                        # identical selection, costs a
-                                       # (B, N, D) table in HBM)
+                                       # (B, N, D) table in HBM).
+                                       # 'auto' (default) enables it when
+                                       # the resident patch table exceeds
+                                       # VMEM (~128 MB): beyond that the
+                                       # per-chunk patch-row gathers run at
+                                       # ~10 GB/s effective (the round-2
+                                       # large-N cliff; measured -39% at
+                                       # N=3600, results/largeN_probe.json)
     steps_per_dispatch: int = 1        # optimizer steps per device dispatch
                                        # (lax.scan over stacked batches).
                                        # Amortizes per-dispatch overhead
                                        # (~5 ms/step on remote-attached
                                        # TPUs); identical update sequence;
-                                       # eager fused + sparse fused paths
+                                       # eager fused, sparse fused, and
+                                       # assembled (B_seq < B) paths.
+                                       # HBM COST: inputs scale with K —
+                                       # the (K, B, N, ...) stacked group,
+                                       # plus up to K+1 prefetched batches
+                                       # in flight, i.e. peak input HBM
+                                       # ~= 2-3x K single batches. At the
+                                       # mnist bench shape (B=16, N=900,
+                                       # bf16) one batch is ~69 MB, so
+                                       # K=32 holds ~4-6 GB; halve K if a
+                                       # dense-image config OOMs
     select_unroll: int = 1             # lax.scan unroll factor for the
                                        # selection loop (semantics-identical;
                                        # lets XLA overlap scoring/top-k with
@@ -157,6 +182,21 @@ class Config:
     img_size: Optional[List[int]] = None  # dataset resize (H, W) override for
                                        # the traffic pipeline (None = the
                                        # reference's fixed 1200x1600)
+    multihost: bool = False            # initialize jax.distributed before
+                                       # training: the CLI becomes one
+                                       # process of a multi-host run. On TPU
+                                       # pods coordinator/process ids are
+                                       # auto-detected from the environment;
+                                       # the knobs below are only for manual
+                                       # (e.g. CPU fleet) setups. Replaces
+                                       # the reference's single-GPU pin
+                                       # (reference main.py:19-20)
+    coordinator_address: str = ""      # host:port of process 0 ('' = auto)
+    num_processes: int = 0             # total processes (0 = auto)
+    process_id: int = -1               # this process's id (-1 = auto)
+    cpu_collectives: str = ""          # 'gloo' | 'mpi': cross-process
+                                       # collectives on the CPU backend
+                                       # (multi-process CPU fleets / tests)
     prefetch_depth: int = 2            # loader batches kept in flight ON
                                        # DEVICE in the eager fused paths:
                                        # batch k+1's host->HBM transfer
@@ -193,6 +233,16 @@ class Config:
             raise ValueError("prefetch_depth must be >= 1")
         if self.select_unroll < 1:
             raise ValueError("select_unroll must be >= 1")
+        if self.select_unroll > 1 and self.mesh_patch > 1:
+            raise ValueError(
+                "select_unroll > 1 is not supported with context "
+                "parallelism (mesh_patch > 1): the CP selection path runs "
+                "per-shard scans and would silently ignore the knob")
+        if self.select_unroll > 1 and not self.eager:
+            raise ValueError(
+                "select_unroll > 1 needs eager=true: streaming (lazy) "
+                "selection is host-chunked and would silently ignore the "
+                "knob")
         if self.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
         if self.use_pos and self.N <= 0:
@@ -201,13 +251,21 @@ class Config:
                 "table is built per original patch index (reference "
                 "ips_net.py:110-113); variable-N datasets (N=0) must set "
                 "use_pos: false")
-        if self.preencode_select and self.mesh_patch > 1:
+        if self.preencode_select not in (True, False, "auto"):
             raise ValueError(
-                "preencode_select is not supported with context parallelism "
-                "(mesh_patch > 1): the CP selection path streams per-shard "
-                "chunks and would silently ignore the knob")
+                f"preencode_select must be true/false/'auto', got "
+                f"{self.preencode_select!r}")
+        if self.preencode_select is True and self.mesh_patch > 1:
+            raise ValueError(
+                "preencode_select=true is not supported with context "
+                "parallelism (mesh_patch > 1): the CP selection path "
+                "streams per-shard chunks and would silently ignore the "
+                "knob (leave it 'auto', which stays off under CP)")
         if self.img_size is not None:
             self.img_size = _as_tuple2(self.img_size)
+        if self.cpu_collectives not in ("", "gloo", "mpi"):
+            raise ValueError(
+                f"unknown cpu_collectives {self.cpu_collectives!r}")
         if self.select_dtype not in ("default", "int8"):
             raise ValueError(f"unknown select_dtype {self.select_dtype!r}")
         if self.select_dtype == "int8" and not self.is_image:

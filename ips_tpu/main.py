@@ -55,12 +55,18 @@ def build_loaders(conf: Config, train_data, test_data):
             return data.bucket_of
         return None
 
+    # Multi-host: every process draws the same seeded batch order but loads
+    # only its B_seq/process_count slice of each global batch; the sharded
+    # trainer's put_batch assembles the global arrays.
+    pi, pc = jax.process_index(), jax.process_count()
     train_loader = DataLoader(train_data, batch_size=conf.B_seq, shuffle=True,
                               num_workers=conf.n_worker, seed=conf.seed,
-                              bucket_fn=bucket_fn(train_data))
+                              bucket_fn=bucket_fn(train_data),
+                              process_index=pi, process_count=pc)
     test_loader = DataLoader(test_data, batch_size=conf.B_seq, shuffle=False,
                              num_workers=conf.n_worker,
-                             bucket_fn=bucket_fn(test_data))
+                             bucket_fn=bucket_fn(test_data),
+                             process_index=pi, process_count=pc)
     return train_loader, test_loader
 
 
@@ -68,18 +74,43 @@ def build_trainer(conf: Config):
     """Single-device IPSTrainer, or ShardedIPSTrainer when the config
     asks for a device mesh (mesh_data x mesh_patch > 1) — the multi-chip
     replacement for the reference's single-GPU pin (reference
-    main.py:19-20)."""
+    main.py:19-20). Multi-process runs always get the sharded trainer
+    over a mesh spanning every host's devices (defaulting the data axis
+    to all devices when the config leaves the mesh at 1x1)."""
     rng = jax.random.PRNGKey(conf.seed)
+    if jax.process_count() > 1 and conf.mesh_data * conf.mesh_patch == 1:
+        conf = conf.replace(mesh_data=len(jax.devices()) // conf.mesh_patch)
     if conf.mesh_data * conf.mesh_patch > 1:
         from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer
         return ShardedIPSTrainer(conf, rng=rng)
     return IPSTrainer(conf, rng=rng)
 
 
+def _check_multihost_path(conf: Config):
+    """Multi-host supports the eager fused paths (B_seq == B, dense); the
+    assembler/streaming/sparse paths keep host-side state that is not yet
+    globalized. Fail loud up front instead of mid-epoch."""
+    from ips_tpu.train.loop import _use_pipeline
+    if jax.process_count() > 1 and not _use_pipeline(conf):
+        raise ValueError(
+            "multi-host training currently requires the eager fused path: "
+            "eager=true, B_seq == B, sparse_input=false (got eager="
+            f"{conf.eager}, B_seq={conf.B_seq}, B={conf.B}, "
+            f"sparse_input={conf.sparse_input})")
+
+
 def run(conf: Config, dataset: str):
+    # Must precede every other jax call in the process (multi-host
+    # coordination cannot start once the backend is touched).
+    from ips_tpu.parallel.distributed import initialize_from_config
+    initialize_from_config(conf)
+    _check_multihost_path(conf)
+    main_process = jax.process_index() == 0
+
     np.random.seed(conf.seed)
-    print("Used config:")
-    print(conf.pretty(), flush=True)
+    if main_process:
+        print("Used config:")
+        print(conf.pretty(), flush=True)
 
     train_data, test_data = build_datasets(conf, dataset)
     train_loader, test_loader = build_loaders(conf, train_data, test_data)
@@ -112,15 +143,20 @@ def run(conf: Config, dataset: str):
             print(f"profiler trace written to {conf.profile_dir}",
                   flush=True)
         log_train.compute_metric()
-        log_train.print_stats(epoch, train=True, lr=lr)
-        if conf.metrics_path:
-            log_train.write_jsonl(conf.metrics_path, epoch, "train", lr=lr)
+        if main_process:
+            # every process accumulates the same GLOBAL metrics under
+            # multi-host; only one needs to report them
+            log_train.print_stats(epoch, train=True, lr=lr)
+            if conf.metrics_path:
+                log_train.write_jsonl(conf.metrics_path, epoch, "train",
+                                      lr=lr)
 
         evaluate(trainer, test_loader, log_test, conf)
         log_test.compute_metric()
-        log_test.print_stats(epoch, train=False)
-        if conf.metrics_path:
-            log_test.write_jsonl(conf.metrics_path, epoch, "test")
+        if main_process:
+            log_test.print_stats(epoch, train=False)
+            if conf.metrics_path:
+                log_test.write_jsonl(conf.metrics_path, epoch, "test")
 
         if ckpt_mgr and conf.checkpoint_every and \
                 (epoch + 1) % conf.checkpoint_every == 0:

@@ -123,41 +123,89 @@ class ShardedIPSTrainer(IPSTrainer):
         datp = NamedSharding(self.mesh, P(DATA_AXIS, PATCH_AXIS))
         self._shardings = (rep, dat, datp)
 
+        # Multi-host (one process per host, mesh spanning all hosts): jitted
+        # steps return fully-replicated outputs so every process can read
+        # losses/preds for metric logging without extra collectives on the
+        # host side. Single-process meshes keep XLA's output shardings.
+        self._multihost = jax.process_count() > 1
+        self._out_kw = {"out_shardings": rep} if self._multihost else {}
+
         # Replicate model/optimizer state across the mesh.
-        self.state = jax.device_put(self.state, rep)
+        if self._multihost:
+            from ips_tpu.parallel.distributed import put_replicated_global
+            self.state = put_replicated_global(self.mesh, self.state)
+        else:
+            self.state = jax.device_put(self.state, rep)
 
         donate = (0,) if conf.donate_buffers else ()
         self._select = jax.jit(
             self._select_impl,
-            in_shardings=(rep, rep, datp, datp, rep))
+            in_shardings=(rep, rep, datp, datp, rep), **self._out_kw)
         self._train = jax.jit(
             self._train_impl, donate_argnums=donate,
-            in_shardings=(rep, dat, dat, dat, dat, dat, rep, rep))
+            in_shardings=(rep, dat, dat, dat, dat, dat, rep, rep),
+            **self._out_kw)
         self._eval = jax.jit(
             self._eval_impl,
-            in_shardings=(rep, rep, dat, dat, dat, dat, dat))
+            in_shardings=(rep, rep, dat, dat, dat, dat, dat), **self._out_kw)
         self._fused = jax.jit(
             self._fused_impl, donate_argnums=donate,
-            in_shardings=(rep, datp, datp, dat, dat, rep, rep))
+            in_shardings=(rep, datp, datp, dat, dat, rep, rep),
+            **self._out_kw)
 
     # -- device placement (loop.py hook) ------------------------------------
     def put_batch(self, tree, patch_dim=None):
         """Shard a loader-batch pytree: dim 0 over `data`, patch_dim over
-        `patch` — transfers land directly in the jitted steps' layout."""
+        `patch` — transfers land directly in the jitted steps' layout.
+
+        Multi-host: each process passes its LOCAL rows (from the
+        process-sharded DataLoader); the result is the global batch with
+        each host's rows staying on its own devices."""
+        if self._multihost:
+            from ips_tpu.parallel.distributed import shard_batch_global
+            return shard_batch_global(self.mesh, tree, patch_dim)
         from ips_tpu.parallel.mesh import shard_batch
         return shard_batch(self.mesh, tree, patch_dim)
 
-    def _stream_sharding(self, ndim: int):
-        """Streamed chunks are sharded over the data axis (CP streams are
-        single-device per shard; the scan itself stays local)."""
+    def put_replicated(self, tree):
+        """Replicate small per-step values (rng keys) over the mesh; every
+        process passes identical values (seeded from the step index)."""
+        if self._multihost:
+            from ips_tpu.parallel.distributed import put_replicated_global
+            return put_replicated_global(self.mesh, tree)
+        return jax.device_put(tree, self._shardings[0])
+
+    def _stream_sharding(self, x):
+        """Streamed tensors: batch dim over `data`; under context
+        parallelism (mesh_patch > 1) a divisible dim 1 — the chunk's patch
+        axis — additionally shards over `patch`, so every device encodes
+        I/n_cp patches of each streamed chunk and XLA all-gathers only the
+        (B, I, D) embeddings for scoring (SURVEY §5 long-context: the
+        patch-axis upgrade now reaches the lazy path too)."""
+        import numpy as np
+
         from ips_tpu.parallel.mesh import batch_spec
-        return NamedSharding(self.mesh, batch_spec(ndim))
+        ndim = np.ndim(x)
+        patch_dim = None
+        if (self.n_cp > 1 and ndim >= 2
+                and np.shape(x)[1] % self.n_cp == 0):
+            patch_dim = 1
+        return NamedSharding(self.mesh, batch_spec(ndim, patch_dim))
+
+    def _stream_out_sharding(self, x):
+        """Streamed-selection outputs feed the train/eval jits, whose
+        in_shardings put the memory batch on the data axis only."""
+        import numpy as np
+
+        from ips_tpu.parallel.mesh import batch_spec
+        return NamedSharding(self.mesh, batch_spec(np.ndim(x)))
 
     # -- sharded jit factories for the lazily-built fused paths -------------
     def _jit_fused_eval(self):
         rep, dat, datp = self._shardings
         return jax.jit(self._fused_eval_impl,
-                       in_shardings=(rep, rep, datp, datp, dat, dat, rep))
+                       in_shardings=(rep, rep, datp, datp, dat, dat, rep),
+                       **self._out_kw)
 
     def _jit_fused_multi(self):
         rep, dat, datp = self._shardings
@@ -167,7 +215,7 @@ class ShardedIPSTrainer(IPSTrainer):
         kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
         return jax.jit(self._fused_multi_impl, donate_argnums=donate,
                        in_shardings=(rep, kdatp, kdatp, kdat, kdat, rep,
-                                     rep))
+                                     rep), **self._out_kw)
 
     def _jit_fused_eval_multi(self):
         rep, dat, datp = self._shardings
@@ -175,7 +223,7 @@ class ShardedIPSTrainer(IPSTrainer):
         kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
         return jax.jit(self._fused_eval_multi_impl,
                        in_shardings=(rep, rep, kdatp, kdatp, kdat, kdat,
-                                     rep))
+                                     rep), **self._out_kw)
 
     def _jit_fused_sparse(self):
         rep, dat, datp = self._shardings
@@ -185,7 +233,7 @@ class ShardedIPSTrainer(IPSTrainer):
         return jax.jit(self._fused_sparse_impl, donate_argnums=donate,
                        static_argnames=("img_hw",),
                        in_shardings=(rep, dat, dat, datp, dat, dat, rep,
-                                     rep))
+                                     rep), **self._out_kw)
 
     def _jit_fused_sparse_multi(self):
         rep, dat, datp = self._shardings
@@ -195,7 +243,42 @@ class ShardedIPSTrainer(IPSTrainer):
         return jax.jit(self._fused_sparse_multi_impl, donate_argnums=donate,
                        static_argnums=(8,),
                        in_shardings=(rep, kdat, kdat, kdatp, kdat, kdat,
-                                     rep, rep))
+                                     rep, rep), **self._out_kw)
+
+    def _jit_fused_assembled(self):
+        rep, dat, datp = self._shardings
+        donate = (0,) if self.conf.donate_buffers else ()
+        # leading (r,) loader-batch axis unsharded; batch dims shift by one
+        rdatp = NamedSharding(self.mesh, P(None, DATA_AXIS, PATCH_AXIS))
+        return jax.jit(self._fused_assembled_impl, donate_argnums=donate,
+                       in_shardings=(rep, rdatp, rdatp, dat, dat, rep, rep,
+                                     rep), **self._out_kw)
+
+    def _jit_fused_assembled_multi(self):
+        rep, dat, datp = self._shardings
+        donate = (0,) if self.conf.donate_buffers else ()
+        krdatp = NamedSharding(self.mesh,
+                               P(None, None, DATA_AXIS, PATCH_AXIS))
+        kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(self._fused_assembled_multi_impl,
+                       donate_argnums=donate,
+                       in_shardings=(rep, krdatp, krdatp, kdat, kdat, rep,
+                                     rep, rep), **self._out_kw)
+
+    def _jit_fused_sparse_eval(self):
+        rep, dat, datp = self._shardings
+        return jax.jit(self._fused_sparse_eval_impl, static_argnums=(8,),
+                       in_shardings=(rep, rep, dat, dat, datp, dat, dat,
+                                     rep), **self._out_kw)
+
+    def _jit_fused_sparse_eval_multi(self):
+        rep, dat, datp = self._shardings
+        kdatp = NamedSharding(self.mesh, P(None, DATA_AXIS, PATCH_AXIS))
+        kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(self._fused_sparse_eval_multi_impl,
+                       static_argnums=(8,),
+                       in_shardings=(rep, rep, kdat, kdat, kdatp, kdat,
+                                     kdat, rep), **self._out_kw)
 
     def _select_impl(self, params, batch_stats, patches, mask, rng):
         conf = self.conf

@@ -45,8 +45,22 @@ class StreamingSelector:
         self._step = jax.jit(step_fn)
 
     def _put(self, x):
-        """device_put honoring the trainer's mesh (data-axis sharding)."""
-        s = self.trainer._stream_sharding(np.ndim(x))
+        """device_put honoring the trainer's mesh: batch dim over `data`,
+        and (under context parallelism) the chunk's patch dim over
+        `patch`, so each device encodes its slice of every streamed chunk
+        — XLA all-gathers only the (B, I, D) chunk embeddings for the
+        scoring/top-M, never raw patches. Selection numerics identical."""
+        s = self.trainer._stream_sharding(x)
+        return jax.device_put(x, s) if s is not None else jax.device_put(x)
+
+    def _put_out(self, x):
+        """Placement for the selection OUTPUTS (the (B, M, ...) memory
+        batch): data axis only — the train/eval jits' in_shardings expect
+        it, and jax >= 0.9 rejects committed args whose sharding
+        disagrees."""
+        if x is None:
+            return None
+        s = self.trainer._stream_out_sharding(x)
         return jax.device_put(x, s) if s is not None else jax.device_put(x)
 
     def _host_cast(self, x: np.ndarray) -> np.ndarray:
@@ -76,12 +90,12 @@ class StreamingSelector:
 
         # Shortcut parity with the scan engine (reference ips_net.py:184-188).
         if M >= N:
-            dev_patch = self._put(self._host_cast(np.asarray(patches)))
+            dev_patch = self._put_out(self._host_cast(np.asarray(patches)))
             idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
-            pos = (self._put(np.broadcast_to(
+            pos = (self._put_out(np.broadcast_to(
                        trainer.pos_table[None, :N], (B, N, conf.D)))
                    if trainer.pos_table is not None else None)
-            return dev_patch, pos, idx, self._put(mask_np)
+            return dev_patch, pos, idx, self._put_out(mask_np)
 
         # Same permutation semantics as the fused engine (tiny, device ok).
         perm = np.asarray(make_permutation(
@@ -125,8 +139,11 @@ class StreamingSelector:
                 mem_valid, *cur)
 
         mem_idx_np = np.asarray(mem_idx)
-        mem_patch = self._put(self._host_cast(patches[rows, mem_idx_np]))
+        mem_patch = self._put_out(self._host_cast(patches[rows, mem_idx_np]))
         # gather on the host: ships (B, M, D) instead of the full (N, D) table
-        mem_pos = (self._put(trainer.pos_table[mem_idx_np])
+        mem_pos = (self._put_out(trainer.pos_table[mem_idx_np])
                    if trainer.pos_table is not None else None)
-        return mem_patch, mem_pos, mem_idx, mem_valid
+        # re-place the jit-inferred carries too: their output shardings are
+        # XLA's choice and may span the patch axis
+        return mem_patch, mem_pos, self._put_out(mem_idx), \
+            self._put_out(mem_valid)

@@ -61,3 +61,61 @@ def test_unknown_yaml_key(tmp_path):
                  "metric: accuracy}\n")
     with pytest.raises(ValueError, match="unknown config keys"):
         load_config(str(p))
+
+
+def test_preencode_select_accepts_auto_and_bools():
+    from ips_tpu.config import config_from_dict
+    base = dict(N=16, M=4, I=4,
+                tasks={"t": {"id": 0, "name": "y", "act_fn": "softmax",
+                             "metric": "accuracy"}})
+    assert config_from_dict(base).preencode_select == "auto"
+    assert config_from_dict({**base, "preencode_select": True}
+                            ).preencode_select is True
+    with pytest.raises(ValueError, match="preencode_select"):
+        config_from_dict({**base, "preencode_select": "always"})
+    # explicit True under CP is rejected; 'auto' is fine (stays off)
+    with pytest.raises(ValueError, match="context"):
+        config_from_dict({**base, "preencode_select": True, "mesh_patch": 2,
+                          "M": 4, "N": 16})
+    config_from_dict({**base, "mesh_patch": 2})
+
+
+def test_select_unroll_rejected_where_silently_ignored():
+    """ADVICE r2: select_unroll must error (like preencode_select) on the
+    CP and streaming paths instead of being silently dropped."""
+    from ips_tpu.config import config_from_dict
+    base = dict(N=16, M=4, I=4,
+                tasks={"t": {"id": 0, "name": "y", "act_fn": "softmax",
+                             "metric": "accuracy"}})
+    with pytest.raises(ValueError, match="context parallelism"):
+        config_from_dict({**base, "select_unroll": 2, "mesh_patch": 2})
+    with pytest.raises(ValueError, match="eager"):
+        config_from_dict({**base, "select_unroll": 2, "eager": False})
+    config_from_dict({**base, "select_unroll": 2})
+
+
+def test_preencode_auto_resolves_on_table_size():
+    """'auto' flips on only when the resident patch table exceeds VMEM."""
+    import jax
+    import jax.numpy as jnp
+
+    from ips_tpu.config import config_from_dict
+    from ips_tpu.train.steps import IPSTrainer
+
+    conf = config_from_dict(dict(
+        N=900, M=100, I=100, B=16, B_seq=16, patch_size=[50, 50],
+        patch_stride=[50, 50],
+        tasks={"t": {"id": 0, "name": "y", "act_fn": "softmax",
+                     "metric": "accuracy"}}))
+    trainer = IPSTrainer.__new__(IPSTrainer)   # shape logic only
+    trainer.conf = conf
+
+    small = jax.ShapeDtypeStruct((16, 900, 50, 50, 1), jnp.bfloat16)
+    big = jax.ShapeDtypeStruct((16, 3600, 50, 50, 1), jnp.bfloat16)
+    assert trainer._resolve_preencode(small) is False   # 72 MB: in VMEM
+    assert trainer._resolve_preencode(big) is True      # 288 MB: cliff
+
+    trainer.conf = conf.replace(preencode_select=False)
+    assert trainer._resolve_preencode(big) is False
+    trainer.conf = conf.replace(preencode_select=True)
+    assert trainer._resolve_preencode(small) is True

@@ -1,0 +1,75 @@
+"""Two-process END-TO-END multi-host training through the real CLI
+(VERDICT r2 items 1+2).
+
+Unlike tests/test_distributed.py (init + loader + one psum), this runs
+`ips_tpu.main.run` — full train + eval epochs — in two real processes
+against a localhost coordinator, with 2 virtual CPU devices per process
+and a 4-way data-parallel mesh spanning both. Asserts both processes end
+with IDENTICAL replicated params, identical (global) per-epoch losses,
+and a decreasing loss curve.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def mnist_dir(tmp_path_factory):
+    from ips_tpu.data.mnist import generate_megapixel_mnist
+    d = tmp_path_factory.mktemp("mh_mnist")
+    generate_megapixel_mnist(str(d), n_train=16, n_test=8, width=200,
+                             height=200, noise=True, n_noise=5, seed=0,
+                             digit_source="synthetic")
+    return str(d)
+
+
+def _launch(mnist_dir, steps_per_dispatch):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(port), mnist_dir,
+         str(steps_per_dispatch)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MH_OK ")]
+        assert lines, out[-4000:]
+        results.append(json.loads(lines[0][len("MH_OK "):]))
+    return results
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 2])
+def test_two_process_training_end_to_end(mnist_dir, steps_per_dispatch):
+    r0, r1 = _launch(mnist_dir, steps_per_dispatch)
+
+    # Both processes computed the same global updates: identical final
+    # params and identical global per-epoch losses.
+    assert r0["fingerprint"] == r1["fingerprint"], (r0, r1)
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=0, atol=0)
+    assert r0["test_metrics"] == r1["test_metrics"]
+
+    losses = r0["losses"]
+    assert len(losses) == 2 and np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"train loss did not decrease: {losses}"

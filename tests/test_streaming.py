@@ -92,3 +92,58 @@ def test_bf16_input_dtype_select(tiny_conf):
     assert mem_patch.shape == (2, 4, 16, 16, 1)
     idx = np.asarray(mem_idx)
     assert (idx >= 0).all() and (idx < 12).all()
+
+
+def test_streaming_cp_mesh_matches_single_device(tiny_conf):
+    """Streaming under a (2,4) data x patch mesh: chunks shard over BOTH
+    axes (each device encodes I/4 patches of every streamed chunk) and the
+    selection must be IDENTICAL to the single-device stream — the patch
+    axis sharding only parallelizes the encode; scoring sees the full
+    candidate set (VERDICT r2 item 8 / missing #5)."""
+    from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer
+
+    conf = tiny_conf.replace(N=20, M=4, I=8, eager=False, B=4, B_seq=4,
+                             mesh_data=2, mesh_patch=4)
+    rng = jax.random.PRNGKey(7)
+    patches = np.asarray(jax.random.uniform(rng, (4, 20, 16, 16, 1)))
+    mask = np.ones((4, 20), bool)
+    mask[0, 15:] = False
+
+    single = IPSTrainer(conf.replace(mesh_data=1, mesh_patch=1),
+                        rng=jax.random.PRNGKey(11))
+    sharded = ShardedIPSTrainer(conf, rng=jax.random.PRNGKey(11))
+
+    a = single.select_streaming(patches, mask, rng)
+    b = sharded.select_streaming(patches, mask, rng)
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
+    # the chunk sharding really spans the patch axis on the mesh
+    s = sharded._stream_sharding(np.zeros((4, 8, 16, 16, 1), np.float32))
+    assert s.spec == ("data", "patch", None, None, None) or \
+        tuple(s.spec) == ("data", "patch", None, None, None)
+
+
+def test_streaming_cp_train_loop(tiny_conf):
+    """Lazy mode + CP mesh end to end: one epoch through train_one_epoch
+    with grouped (steps_per_dispatch) train updates disabled by design on
+    the streaming path (selection is host-driven) — finite losses and
+    replicated params after real updates."""
+    from ips_tpu.data.loader import DataLoader
+    from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer
+    from ips_tpu.train.loop import train_one_epoch
+    from ips_tpu.train.metrics import MetricsLogger
+    from tests.test_train_loop import SignalPatches
+
+    conf = tiny_conf.replace(N=20, M=4, I=4, eager=False, B=4, B_seq=4,
+                             n_class=10, mesh_data=2, mesh_patch=4,
+                             use_pos=True)
+    data = SignalPatches(conf, n_samples=8)
+    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=False)
+    trainer = ShardedIPSTrainer(conf)
+    log = MetricsLogger(conf.task_list)
+    train_one_epoch(trainer, loader, 0, log, conf)
+    log.compute_metric()
+    assert np.isfinite(log.losses_epoch["majority"][0])
+    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+        assert leaf.sharding.is_fully_replicated

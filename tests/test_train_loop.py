@@ -253,3 +253,100 @@ def test_prefetch_pipeline_matches_serial(overfit_conf):
             np.asarray(elog_s.losses_epoch[task]),
             np.asarray(elog_p.losses_epoch[task]))
         assert elog_s.metrics[task] == elog_p.metrics[task]
+
+
+def _legacy_assembler_epochs(conf, n_epoch, n_samples=16):
+    """Reference-shaped schedule, spelled out: per-loader-batch select
+    dispatch + BatchAssembler + train_step per optimizer batch, with the
+    exact rng/lr derivation the pre-fused loop used. The fused assembled
+    path (loop._train_epoch_assembled) must reproduce this update
+    sequence."""
+    from ips_tpu.train.schedule import warmup_cosine_lr
+
+    data = SignalPatches(conf, n_samples=n_samples)
+    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=True,
+                        seed=conf.seed)
+    trainer = IPSTrainer(conf)
+    steps_per_epoch = len(loader)
+    losses = []
+    for epoch in range(n_epoch):
+        base_rng = jax.random.PRNGKey(conf.seed * 1_000_003 + epoch)
+        assembler = BatchAssembler(conf)
+        for it, batch in enumerate(loader):
+            rng = jax.random.fold_in(base_rng, it)
+            patches = jnp.asarray(batch["input"])
+            mask = jnp.ones(patches.shape[:2], bool)
+            mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask,
+                                                             rng)
+            labels = {"majority": np.asarray(batch["majority"], np.int32),
+                      "multi": np.asarray(batch["multi"], np.float32)}
+            assembler.add(mem_patch, mem_pos, mem_mask, labels)
+            if assembler.full or it == steps_per_epoch - 1:
+                patch, pos, mmask, lab, weights = assembler.take()
+                lr = warmup_cosine_lr(epoch * steps_per_epoch + it + 1,
+                                      steps_per_epoch, conf.n_epoch,
+                                      conf.n_epoch_warmup, conf.lr)
+                loss, _, _ = trainer.train_step(
+                    patch, pos, mmask, lab, weights,
+                    jax.random.fold_in(rng, 1), lr)
+                losses.append(float(loss))
+    return trainer, losses
+
+
+def test_assembled_fused_matches_legacy_schedule(overfit_conf):
+    """The fused assembled path (r loader batches -> ONE dispatch) must
+    produce the legacy select-assemble-train update sequence exactly:
+    same per-step losses, same final params (VERDICT r2 item 3)."""
+    conf = overfit_conf.replace(B_seq=2, n_epoch=2)
+    t_legacy, legacy_losses = _legacy_assembler_epochs(conf, 2)
+
+    data = SignalPatches(conf, n_samples=16)
+    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=True,
+                        seed=conf.seed)
+    t_new = IPSTrainer(conf)
+    log = MetricsLogger(conf.task_list)
+    for epoch in range(2):
+        train_one_epoch(t_new, loader, epoch, log, conf)
+        log.compute_metric()
+
+    new_losses = [float(np.mean(v)) for v in
+                  zip(*(log.losses_epoch[t] for t in ("majority", "multi")))]
+    legacy_means = np.asarray(legacy_losses, np.float64).reshape(2, -1)
+    np.testing.assert_allclose(np.mean(legacy_means, axis=1),
+                               np.asarray(new_losses, np.float64), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(t_legacy.state.params),
+                    jax.tree_util.tree_leaves(t_new.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("K", [2, 3])
+def test_assembled_steps_per_dispatch_matches_single(overfit_conf, K):
+    """K assembled optimizer steps per dispatch == one per dispatch:
+    same per-step losses, same final params. With 16 samples, B_seq=2,
+    B=4 -> 4 optimizer steps/epoch; K=3 exercises the short-tail
+    fallback (VERDICT r2 item 3, reference camelyon shape B_seq<B)."""
+    conf1 = overfit_conf.replace(B_seq=2, n_epoch=2)
+    confK = conf1.replace(steps_per_dispatch=K)
+
+    def run(conf):
+        data = SignalPatches(conf, n_samples=16)
+        loader = DataLoader(data, batch_size=conf.B_seq, shuffle=True,
+                            seed=conf.seed)
+        trainer = IPSTrainer(conf)
+        log = MetricsLogger(conf.task_list)
+        for epoch in range(2):
+            train_one_epoch(trainer, loader, epoch, log, conf)
+            log.compute_metric()
+        return trainer, log
+
+    t1, log1 = run(conf1)
+    tK, logK = run(confK)
+    for task in ("majority", "multi"):
+        np.testing.assert_allclose(
+            np.asarray(log1.losses_epoch[task], np.float64),
+            np.asarray(logK.losses_epoch[task], np.float64), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(tK.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
