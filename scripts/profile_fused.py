@@ -78,20 +78,21 @@ def capture():
     print(f"trace captured under {TRACE_DIR}", file=sys.stderr, flush=True)
 
 
-def find_trace():
-    paths = glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"),
+def find_trace(trace_dir=TRACE_DIR):
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
-        paths = glob.glob(os.path.join(TRACE_DIR, "**", "trace.json.gz"),
+        paths = glob.glob(os.path.join(trace_dir, "**", "trace.json.gz"),
                           recursive=True)
     if not paths:
-        raise FileNotFoundError(f"no trace.json.gz under {TRACE_DIR}; "
-                                f"files: {glob.glob(TRACE_DIR + '/**', recursive=True)[:20]}")
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}; "
+                                f"files: {glob.glob(trace_dir + '/**', recursive=True)[:20]}")
     return max(paths, key=os.path.getmtime)
 
 
-def analyze():
-    path = find_trace()
+def analyze(trace_dir=TRACE_DIR, steps=N_DISPATCH * K,
+            out_path="results/fused_op_breakdown.json"):
+    path = find_trace(trace_dir)
     print(f"parsing {path}", file=sys.stderr, flush=True)
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
@@ -112,7 +113,6 @@ def analyze():
                 e.get("args", {}).get("name", "")
     op_tracks = {k for k, n in tid_names.items() if n == "XLA Ops"}
 
-    steps = N_DISPATCH * K
     cat = defaultdict(lambda: [0.0, 0.0, 0.0, 0])   # t, flops, bytes, n
     ops = defaultdict(lambda: [0.0, ""])
     for e in trace["traceEvents"]:
@@ -134,8 +134,7 @@ def analyze():
 
     total = sum(r[0] for r in cat.values())
     print(f"\nleaf device time: {total * 1e3:.1f} ms over "
-          f"{N_DISPATCH} dispatches x {K} steps = "
-          f"{total / steps * 1e3:.2f} ms/step\n")
+          f"{steps} steps = {total / steps * 1e3:.2f} ms/step\n")
     print(f"{'category':>24} {'ms/step':>8} {'share':>6} {'TF/s':>7} "
           f"{'GB/s':>7}")
     out = {"per_step_ms": total / steps * 1e3, "by_category": {},
@@ -155,9 +154,10 @@ def analyze():
                                       "category": c}
         print(f"{t / steps * 1e3:8.3f}  [{c}] {name[:90]}")
 
-    with open("results/fused_op_breakdown.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote results/fused_op_breakdown.json")
+    print(f"wrote {out_path}")
+    return out
 
 
 def main():
