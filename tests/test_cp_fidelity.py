@@ -69,6 +69,45 @@ def test_cp_selection_jaccard_with_real_scorer(setup):
             a, c = set(si[b].tolist()), set(ci[b].tolist())
             js.append(len(a & c) / len(a | c))
     mean_j = float(np.mean(js))
-    assert mean_j >= 0.8, (
+    assert mean_j >= 0.9, (
         f"CP selection diverged from single-stream: mean Jaccard {mean_j:.3f}"
         f" (measured 0.97-0.99 at round 2; see RESULTS.md)")
+
+
+def test_cp_selection_jaccard_at_trained_params(setup):
+    """Same fidelity check after real training steps (VERDICT r2 weak #4:
+    the fresh-init guard alone would miss a merge regression that only
+    shows once scores sharpen). Trains the single-stream trainer 3 epochs,
+    then compares selections with the TRAINED params."""
+    from ips_tpu.train.loop import train_one_epoch
+    from ips_tpu.train.metrics import MetricsLogger
+
+    conf, d = setup
+    conf = conf.replace(n_epoch=3)
+    trainer = IPSTrainer(conf, rng=jax.random.PRNGKey(0))
+    loader = DataLoader(MegapixelMNIST(conf, train=True), batch_size=8,
+                        shuffle=True, seed=0)
+    log = MetricsLogger(conf.task_list)
+    for epoch in range(conf.n_epoch):
+        train_one_epoch(trainer, loader, epoch, log, conf)
+
+    encode, score = trainer._enc_score_fns(trainer.state.params,
+                                           trainer.state.batch_stats)
+    pos = trainer._pos_table_const()
+    test_loader = DataLoader(MegapixelMNIST(conf, train=False), batch_size=8,
+                             shuffle=False)
+    js = []
+    for batch in test_loader:
+        patches = jnp.asarray(batch["input"])
+        single = ips_select(encode, score, patches, M=conf.M, I=conf.I,
+                            pos_table=pos)
+        cp = ips_select_cp(encode, score, patches, M=conf.M, I=conf.I,
+                           n_shards=4, pos_table=pos)
+        si, ci = np.asarray(single.mem_idx), np.asarray(cp.mem_idx)
+        for b in range(si.shape[0]):
+            a, c = set(si[b].tolist()), set(ci[b].tolist())
+            js.append(len(a & c) / len(a | c))
+    mean_j = float(np.mean(js))
+    assert mean_j >= 0.9, (
+        f"CP selection diverged from single-stream at trained params: "
+        f"mean Jaccard {mean_j:.3f} (measured 0.973 at round 2)")
