@@ -265,6 +265,22 @@ class ShardedIPSTrainer(IPSTrainer):
                        in_shardings=(rep, krdatp, krdatp, kdat, kdat, rep,
                                      rep, rep), **self._out_kw)
 
+    def _jit_fused_assembled_eval(self):
+        rep, dat, datp = self._shardings
+        rdatp = NamedSharding(self.mesh, P(None, DATA_AXIS, PATCH_AXIS))
+        return jax.jit(self._fused_assembled_eval_impl,
+                       in_shardings=(rep, rep, rdatp, rdatp, dat, dat, rep),
+                       **self._out_kw)
+
+    def _jit_fused_assembled_eval_multi(self):
+        rep, dat, datp = self._shardings
+        krdatp = NamedSharding(self.mesh,
+                               P(None, None, DATA_AXIS, PATCH_AXIS))
+        kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(self._fused_assembled_eval_multi_impl,
+                       in_shardings=(rep, rep, krdatp, krdatp, kdat, kdat,
+                                     rep), **self._out_kw)
+
     def _jit_fused_sparse_eval(self):
         rep, dat, datp = self._shardings
         return jax.jit(self._fused_sparse_eval_impl, static_argnums=(8,),

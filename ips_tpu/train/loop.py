@@ -774,6 +774,94 @@ def _eval_sparse_pipelined(trainer, loader, logger, conf, base_rng):
                    group_key=_sparse_group_key, train=False)
 
 
+def _eval_assembled(trainer, loader, logger, conf, base_rng):
+    """Eager dense B_seq < B eval: r loader batches -> ONE fused dispatch
+    (vmapped selections + eval forward), K such batches per dispatch when
+    steps_per_dispatch > 1. Same selection rngs as the legacy per-batch
+    loop; heterogeneous r-groups and the epoch-end partial fall back to
+    the legacy schedule, in order."""
+    r = conf.B // conf.B_seq
+    K = conf.steps_per_dispatch
+    prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
+
+    def log_group(preps, loss, task_losses, preds):
+        tl, pr = _to_host(task_losses, preds)
+        labels = {k: np.concatenate([np.asarray(p.labels[k]) for p in preps])
+                  for k in preps[0].labels}
+        weights = np.concatenate([p.row_weights for p in preps])
+        logger.update(tl, pr, labels, weights=weights)
+
+    def eval_item(preps):
+        puts = [p.payload["put"] for p in preps]
+        return {
+            "p": jnp.stack([p.payload["patches"] for p in preps]),
+            "m": jnp.stack([p.payload["mask"] for p in preps]),
+            "lab": {k: jnp.concatenate([q["labels"][k] for q in puts])
+                    for k in puts[0]["labels"]},
+            "w": jnp.concatenate([q["w"] for q in puts]),
+            "sk": jnp.stack([p.rng for p in preps]),
+            "preps": preps,
+        }
+
+    def flush_items(items):
+        if not items:
+            return
+        shapes = {i["p"].shape for i in items}
+        if len(items) == K and K > 1 and len(shapes) == 1:
+            losses, task_losses, preds = \
+                trainer.fused_assembled_eval_multi_step(
+                    jnp.stack([i["p"] for i in items]),
+                    jnp.stack([i["m"] for i in items]),
+                    {k: jnp.stack([i["lab"][k] for i in items])
+                     for k in items[0]["lab"]},
+                    jnp.stack([i["w"] for i in items]),
+                    jnp.stack([i["sk"] for i in items]))
+            for j, i in enumerate(items):
+                log_group(i["preps"], losses[j],
+                          {k: v[j] for k, v in task_losses.items()},
+                          {k: v[j] for k, v in preds.items()})
+        else:
+            for i in items:
+                loss, task_losses, preds = trainer.fused_assembled_eval_step(
+                    i["p"], i["m"], i["lab"], i["w"], i["sk"])
+                log_group(i["preps"], loss, task_losses, preds)
+
+    def legacy_eval(preps):
+        assembler = BatchAssembler(conf)
+        for p in preps:
+            mem_patch, mem_pos, _, mem_mask = trainer.select(
+                p.payload["patches"], p.payload["mask"], p.rng)
+            assembler.add(mem_patch, mem_pos, mem_mask, p.labels,
+                          p.row_weights)
+        patch, pos, mmask, lab, weights = _put_train(trainer,
+                                                     *assembler.take())
+        loss, task_losses, preds = trainer.eval_step(patch, pos, mmask, lab,
+                                                     weights)
+        tl, pr = _to_host(task_losses, preds)
+        logger.update(tl, pr, {k: np.asarray(v) for k, v in lab.items()},
+                      weights=np.asarray(weights))
+
+    depth = max(conf.prefetch_depth, r * K + 1)
+    pending, group = [], []
+    for p in _prefetched(enumerate(loader), prep, depth):
+        group.append(p)
+        if len(group) < r:
+            continue
+        if len({q.payload["patches"].shape for q in group}) == 1:
+            pending.append(eval_item(group))
+            if len(pending) == K:
+                flush_items(pending)
+                pending = []
+        else:
+            flush_items(pending)
+            pending = []
+            legacy_eval(group)
+        group = []
+    flush_items(pending)
+    if group:
+        legacy_eval(group)
+
+
 def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
     """Evaluation epoch (reference training/iterative.py:194-231)."""
     steps_per_epoch = len(loader)
@@ -786,6 +874,8 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
             and _yields_sparse(loader)):
         return _eval_sparse_pipelined(trainer, loader, logger, conf,
                                       base_rng)
+    if conf.eager and not conf.sparse_input and conf.B_seq < conf.B:
+        return _eval_assembled(trainer, loader, logger, conf, base_rng)
 
     for it, batch in enumerate(loader):
         is_last = it == steps_per_epoch - 1

@@ -547,6 +547,64 @@ class IPSTrainer:
             jnp.asarray(lr, jnp.float32))
         return loss, task_losses, preds
 
+    def _fused_assembled_eval_impl(self, params, batch_stats, patches, mask,
+                                   labels, weights, sel_rngs):
+        """Eval analog of _fused_assembled_impl: r loader batches ->
+        vmapped selections + ONE eval forward, one dispatch."""
+        sel = jax.vmap(lambda p, m, k: self._select_impl(
+            params, batch_stats, p, m, k))(patches, mask, sel_rngs)
+        mem_patch, mem_pos, _, mem_mask = sel
+
+        def flat(x):
+            return None if x is None else x.reshape((-1,) + x.shape[2:])
+
+        return self._eval_impl(params, batch_stats, flat(mem_patch),
+                               flat(mem_pos), flat(mem_mask), labels,
+                               weights)
+
+    def _jit_fused_assembled_eval(self):
+        return jax.jit(self._fused_assembled_eval_impl)
+
+    def fused_assembled_eval_step(self, patches, mask, labels, weights,
+                                  sel_rngs):
+        """One eval batch from r stacked loader batches (B_seq < B)."""
+        if not hasattr(self, "_fused_assembled_eval"):
+            self._fused_assembled_eval = self._jit_fused_assembled_eval()
+        return self._fused_assembled_eval(
+            self.state.params, self.state.batch_stats, patches, mask,
+            labels, weights, sel_rngs)
+
+    def _fused_assembled_eval_multi_impl(self, params, batch_stats, patches,
+                                         mask, labels, weights, sel_rngs):
+        """K assembled eval batches per dispatch (scan; params are loop
+        constants)."""
+        def body(carry, xs):
+            out = self._fused_assembled_eval_impl(
+                params, batch_stats, xs["p"], xs["m"], xs["lab"], xs["w"],
+                xs["sk"])
+            return carry, out
+
+        xs = {"p": patches, "m": mask, "lab": labels, "w": weights,
+              "sk": sel_rngs}
+        _, (losses, task_losses, preds) = jax.lax.scan(
+            body, jnp.zeros(()), xs)
+        return losses, task_losses, preds
+
+    def _jit_fused_assembled_eval_multi(self):
+        return jax.jit(self._fused_assembled_eval_multi_impl)
+
+    def fused_assembled_eval_multi_step(self, patches, mask, labels, weights,
+                                        sel_rngs):
+        """K assembled eval batches per device dispatch: patches
+        (K, r, B_seq, N, ...), labels/weights (K, B, ...), sel_rngs
+        (K, r, key)."""
+        if not hasattr(self, "_fused_assembled_eval_multi"):
+            self._fused_assembled_eval_multi = \
+                self._jit_fused_assembled_eval_multi()
+        return self._fused_assembled_eval_multi(
+            self.state.params, self.state.batch_stats, patches, mask,
+            labels, weights, sel_rngs)
+
     def _fused_assembled_multi_impl(self, state: TrainState, patches, mask,
                                     labels, weights, sel_rngs, train_rngs,
                                     lrs):

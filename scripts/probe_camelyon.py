@@ -84,6 +84,23 @@ def main():
     print(f"seq_b1 (16x select + train): {rows['seq_b1_ms']:.1f} "
           f"ms/optimizer step", flush=True)
 
+    # -- assembled fused: the SAME B_seq=1 schedule, one dispatch ----------
+    # (round 3: loop._train_epoch_assembled routes the reference's default
+    # shape here — vmapped selections + train in one jit, identical update
+    # sequence to seq_b1)
+    feats_r = feats.reshape(B, 1, N, D_FEAT)
+    mask_r = mask.reshape(B, 1, N)
+    sel_rngs = jax.random.split(rng, B)
+
+    def assembled():
+        loss, _, _ = trainer.fused_assembled_step(
+            feats_r, mask_r, labels, weights, sel_rngs, rng, lr)
+        return loss
+
+    rows["assembled_ms"] = timeit(assembled, n_iter=3) * 1e3
+    print(f"assembled (B_seq=1, one dispatch): {rows['assembled_ms']:.1f} "
+          f"ms/optimizer step", flush=True)
+
     # -- fused single dispatch (bucket-batched B_seq == B) ----------------
     def fused():
         loss, _, _ = trainer.fused_step(feats, mask, labels, weights, rng,

@@ -80,8 +80,12 @@ def main():
     print(f"trace captured under {TRACE_DIR}", file=sys.stderr, flush=True)
 
     from scripts.profile_fused import analyze
+    suffix = ""
+    for a in sys.argv[1:]:
+        if a.startswith("--suffix="):
+            suffix = a.split("=", 1)[1]
     analyze(TRACE_DIR, steps=N_DISPATCH * K,
-            out_path="results/camelyon_op_breakdown.json")
+            out_path=f"results/camelyon_op_breakdown{suffix}.json")
 
 
 if __name__ == "__main__":

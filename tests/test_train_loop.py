@@ -350,3 +350,53 @@ def test_assembled_steps_per_dispatch_matches_single(overfit_conf, K):
                     jax.tree_util.tree_leaves(tK.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("K", [1, 2])
+def test_assembled_eval_matches_legacy(overfit_conf, K):
+    """Fused assembled eval (r loader batches -> one dispatch, K per
+    dispatch) must reproduce the legacy per-batch select + assembled
+    eval exactly: same losses, same metrics. 14 samples with B_seq=2,
+    B=4 -> 3 full eval groups + a partial legacy tail."""
+    conf = overfit_conf.replace(B_seq=2, n_epoch=1)
+    confK = conf.replace(steps_per_dispatch=K)
+    trainer = IPSTrainer(conf)
+    data = SignalPatches(conf, n_samples=14)
+
+    # legacy schedule, spelled out (per-batch select + assembler + eval)
+    base_rng = jax.random.PRNGKey(conf.seed * 7_000_003 + 1)
+    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=False)
+    log_legacy = MetricsLogger(conf.task_list)
+    assembler = BatchAssembler(conf)
+    n = len(loader)
+    for it, batch in enumerate(loader):
+        rng = jax.random.fold_in(base_rng, it)
+        patches = jnp.asarray(batch["input"])
+        mask = jnp.ones(patches.shape[:2], bool)
+        mem = trainer.select(patches, mask, rng)
+        labels = {"majority": np.asarray(batch["majority"], np.int32),
+                  "multi": np.asarray(batch["multi"], np.float32)}
+        assembler.add(mem[0], mem[1], mem[3], labels)
+        if assembler.full or it == n - 1:
+            patch, pos, mmask, lab, weights = assembler.take()
+            loss, tls, prs = trainer.eval_step(patch, pos, mmask, lab,
+                                               weights)
+            tl = {k: float(v) for k, v in tls.items()}
+            pr = {k: np.asarray(v) for k, v in prs.items()}
+            log_legacy.update(tl, pr,
+                              {k: np.asarray(v) for k, v in lab.items()},
+                              weights=np.asarray(weights))
+    log_legacy.compute_metric()
+
+    log_new = MetricsLogger(confK.task_list)
+    evaluate(trainer, DataLoader(data, batch_size=conf.B_seq,
+                                 shuffle=False), log_new, confK)
+    log_new.compute_metric()
+
+    for task in ("majority", "multi"):
+        np.testing.assert_allclose(
+            np.asarray(log_legacy.losses_epoch[task], np.float64),
+            np.asarray(log_new.losses_epoch[task], np.float64), rtol=1e-5)
+        np.testing.assert_allclose(log_legacy.metrics[task],
+                                   log_new.metrics[task], rtol=1e-6)
+    assert len(log_new.y_trues["majority"]) == 0  # reset by compute_metric
