@@ -601,10 +601,16 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             and conf.B_seq == conf.B and _yields_sparse(loader)):
         return _train_epoch_sparse_grouped(trainer, loader, epoch, logger,
                                            conf, base_rng, steps_per_epoch)
-    if (conf.eager and not conf.sparse_input and conf.B_seq < conf.B
-            and not conf.track_efficiency):
-        # r loader batches per fused dispatch (+ K-step grouping); exact
-        # legacy update sequence — see _train_epoch_assembled
+    if (grouped and conf.eager and not conf.sparse_input
+            and conf.B_seq < conf.B):
+        # steps_per_dispatch > 1 with B_seq < B: r loader batches per fused
+        # dispatch, K optimizer steps per dispatch; exact legacy update
+        # sequence (see _train_epoch_assembled). At K=1 the legacy
+        # select-assemble-train schedule stays default: its dispatches
+        # pipeline asynchronously, and at camelyon scale each B_seq=1
+        # patch table fits VMEM, making it slightly FASTER than one big
+        # dispatch (measured: results/camelyon_probe.json seq_b1 28.9 vs
+        # assembled 35.1 ms/step) — the assembled path's win is grouping.
         return _train_epoch_assembled(trainer, loader, epoch, logger, conf,
                                       base_rng, steps_per_epoch)
 
@@ -874,7 +880,10 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
             and _yields_sparse(loader)):
         return _eval_sparse_pipelined(trainer, loader, logger, conf,
                                       base_rng)
-    if conf.eager and not conf.sparse_input and conf.B_seq < conf.B:
+    if (conf.steps_per_dispatch > 1 and conf.eager
+            and not conf.sparse_input and conf.B_seq < conf.B):
+        # same gating as the train side: assembled fusion pays via K-step
+        # grouping; at K=1 the legacy per-batch schedule pipelines better
         return _eval_assembled(trainer, loader, logger, conf, base_rng)
 
     for it, batch in enumerate(loader):

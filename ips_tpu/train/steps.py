@@ -213,19 +213,26 @@ class IPSTrainer:
         table_bytes = B * N * row_elems * patches.dtype.itemsize
         return table_bytes > 96 * 2**20
 
-    def _select_impl(self, params, batch_stats, patches, mask, rng):
+    def _select_impl(self, params, batch_stats, patches, mask, rng,
+                     preencode=None):
+        """preencode=None resolves conf.preencode_select against this
+        input's shape; vmapped callers (the assembled path) pass the
+        resolution computed on the TOTAL stacked shape — inside the vmap
+        the per-slice table looks VMEM-sized while the real resident
+        tensor is r x bigger."""
         conf = self.conf
         if conf.input_dtype == "bfloat16" and patches.dtype != jnp.uint8:
             # one up-front cast: halves HBM traffic of every chunk gather
             # (uint8 tiles are already compact and convert per-chunk)
             patches = patches.astype(jnp.bfloat16)
         encode, score = self._enc_score_fns(params, batch_stats)
+        if preencode is None:
+            preencode = self._resolve_preencode(patches)
         res = ips_select(
             encode, score, patches, M=conf.M, I=conf.I,
             pos_table=self._pos_table_const(), mask=mask, rng=rng,
             shuffle=conf.shuffle, shuffle_style=conf.shuffle_style,
-            preencode=self._resolve_preencode(patches),
-            unroll=conf.select_unroll)
+            preencode=preencode, unroll=conf.select_unroll)
         return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask
 
     def select(self, patches, mask=None, rng=None):
@@ -518,9 +525,14 @@ class IPSTrainer:
         together instead of running r sequential dispatches (the reference
         runs them as r sequential host-looped forwards,
         training/iterative.py:118-152)."""
+        # preencode resolution must see the TOTAL resident table
+        # (r x B_seq x N), not the per-slice view inside the vmap
+        pe = self._resolve_preencode(
+            jax.ShapeDtypeStruct((patches.shape[0] * patches.shape[1],)
+                                 + patches.shape[2:], patches.dtype))
         sel = jax.vmap(lambda p, m, k: self._select_impl(
-            state.params, state.batch_stats, p, m, k))(patches, mask,
-                                                       sel_rngs)
+            state.params, state.batch_stats, p, m, k,
+            preencode=pe))(patches, mask, sel_rngs)
         mem_patch, mem_pos, _, mem_mask = sel
 
         def flat(x):
@@ -551,8 +563,12 @@ class IPSTrainer:
                                    labels, weights, sel_rngs):
         """Eval analog of _fused_assembled_impl: r loader batches ->
         vmapped selections + ONE eval forward, one dispatch."""
+        pe = self._resolve_preencode(
+            jax.ShapeDtypeStruct((patches.shape[0] * patches.shape[1],)
+                                 + patches.shape[2:], patches.dtype))
         sel = jax.vmap(lambda p, m, k: self._select_impl(
-            params, batch_stats, p, m, k))(patches, mask, sel_rngs)
+            params, batch_stats, p, m, k, preencode=pe))(patches, mask,
+                                                         sel_rngs)
         mem_patch, mem_pos, _, mem_mask = sel
 
         def flat(x):

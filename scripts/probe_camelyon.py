@@ -101,6 +101,24 @@ def main():
     print(f"assembled (B_seq=1, one dispatch): {rows['assembled_ms']:.1f} "
           f"ms/optimizer step", flush=True)
 
+    # -- K=4 assembled steps per dispatch (the gated product route) --------
+    feats_kr = jnp.broadcast_to(feats_r, (K,) + feats_r.shape)
+    mask_kr = jnp.broadcast_to(mask_r, (K,) + mask_r.shape)
+    labels_k4 = {k: jnp.broadcast_to(v, (K,) + v.shape)
+                 for k, v in labels.items()}
+    weights_k4 = jnp.broadcast_to(weights, (K,) + weights.shape)
+    sel_rngs_k = jax.random.split(rng, K * B).reshape(K, B, -1)
+
+    def assembled_multi():
+        losses, _, _ = trainer.fused_assembled_multi_step(
+            feats_kr, mask_kr, labels_k4, weights_k4, sel_rngs_k,
+            jax.random.split(rng, K), jnp.full((K,), lr, jnp.float32))
+        return losses
+
+    rows["assembled_multi_k4_ms"] = timeit(assembled_multi, n_iter=2) * 1e3 / K
+    print(f"assembled multi_k4: {rows['assembled_multi_k4_ms']:.1f} "
+          f"ms/optimizer step", flush=True)
+
     # -- fused single dispatch (bucket-batched B_seq == B) ----------------
     def fused():
         loss, _, _ = trainer.fused_step(feats, mask, labels, weights, rng,

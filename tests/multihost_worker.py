@@ -32,8 +32,15 @@ TASKS = {
 
 
 def main():
+    import os
+
     pid, port, data_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     steps_per_dispatch = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    # optional checkpoint phase (preemption-recovery test): save in a first
+    # 2-process run, resume in a second one with fresh processes
+    ckpt_dir = os.environ.get("MH_CKPT_DIR", "")
+    resume = os.environ.get("MH_RESUME", "") == "1"
+    n_epoch = int(os.environ.get("MH_NEPOCH", "2"))
 
     from ips_tpu.config import config_from_dict
     from ips_tpu.main import run
@@ -41,14 +48,15 @@ def main():
     conf = config_from_dict(dict(
         multihost=True, coordinator_address=f"localhost:{port}",
         num_processes=2, process_id=pid, cpu_collectives="gloo",
-        n_epoch=2, B=8, B_seq=8, n_epoch_warmup=1, lr=1e-3, wd=0.1,
+        n_epoch=n_epoch, B=8, B_seq=8, n_epoch_warmup=1, lr=1e-3, wd=0.1,
         n_class=10, data_dir=data_dir, n_worker=0, eager=True,
         is_image=True, enc_type="resnet18", n_chan_in=1, n_res_blocks=2,
         shuffle=True, shuffle_style="batch", n_token=4,
         N=16, M=4, I=4, patch_size=[50, 50], patch_stride=[50, 50],
         use_pos=True, H=4, D=128, D_k=16, D_v=16, D_inner=128,
         donate_buffers=False, steps_per_dispatch=steps_per_dispatch,
-        tasks=TASKS))
+        checkpoint_dir=ckpt_dir, checkpoint_every=1 if ckpt_dir else 0,
+        resume=resume, tasks=TASKS))
 
     trainer, log_train, log_test = run(conf, "mnist")
 
@@ -69,10 +77,11 @@ def main():
                       for l in jax.tree_util.tree_leaves(t)),
         out_shardings=NamedSharding(trainer.mesh, P()))(trainer.state.params)
 
+    n_logged = len(log_train.losses_epoch[log_train.tasks[0].name])
     losses = [
         float(np.mean([log_train.losses_epoch[t.name][e]
                        for t in log_train.tasks]))
-        for e in range(conf.n_epoch)]
+        for e in range(n_logged)]
     test_metrics = log_test.latest()
     print("MH_OK " + json.dumps({
         "pid": pid, "fingerprint": float(fp), "losses": losses,

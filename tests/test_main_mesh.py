@@ -115,3 +115,18 @@ def test_mesh_rejects_cp_overflow(mnist_dir):
     conf = _conf(mnist_dir, mesh_data=2, mesh_patch=4)  # N/cp=4 == M
     with pytest.raises(ValueError, match="M < N/mesh_patch"):
         ShardedIPSTrainer(conf)
+
+
+def test_cli_mesh_assembled_path(mnist_dir):
+    """B_seq < B under the mesh: the round-3 assembled driver (vmapped
+    selections + train in one dispatch, K per dispatch) must work with
+    sharded batch stacking — jnp.stack of (data,patch)-sharded per-batch
+    arrays feeds the rdatp in_shardings."""
+    conf = _conf(mnist_dir, mesh_data=4, mesh_patch=2).replace(
+        B=8, B_seq=4, steps_per_dispatch=2)
+    trainer, log_train, log_test = run(conf, "mnist")
+    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+        assert leaf.sharding.is_fully_replicated
+    losses = _mean_losses(log_train)
+    assert len(losses) == conf.n_epoch and np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"train loss did not decrease: {losses}"

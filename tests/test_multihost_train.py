@@ -73,3 +73,47 @@ def test_two_process_training_end_to_end(mnist_dir, steps_per_dispatch):
     losses = r0["losses"]
     assert len(losses) == 2 and np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"train loss did not decrease: {losses}"
+
+
+def _launch_env(mnist_dir, steps_per_dispatch, extra_env):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO
+    env.update(extra_env)
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(port), mnist_dir,
+         str(steps_per_dispatch)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MH_OK ")]
+        assert lines, out[-4000:]
+        results.append(json.loads(lines[0][len("MH_OK "):]))
+    return results
+
+
+def test_two_process_checkpoint_resume(mnist_dir, tmp_path):
+    """Preemption recovery on a pod: 2 processes train 1 epoch and
+    checkpoint (orbax multiprocess save of the replicated global state),
+    then FRESH processes resume and train epoch 2 only. Both runs agree
+    across processes; the resumed run logs exactly one new epoch."""
+    ckpt = str(tmp_path / "mh_ck")
+    first = _launch_env(mnist_dir, 1,
+                        {"MH_CKPT_DIR": ckpt, "MH_NEPOCH": "1"})
+    assert first[0]["fingerprint"] == first[1]["fingerprint"]
+    assert len(first[0]["losses"]) == 1
+
+    second = _launch_env(mnist_dir, 1,
+                         {"MH_CKPT_DIR": ckpt, "MH_NEPOCH": "2",
+                          "MH_RESUME": "1"})
+    assert second[0]["fingerprint"] == second[1]["fingerprint"]
+    # resumed run trained only the remaining epoch
+    assert len(second[0]["losses"]) == 1
+    # and actually continued from the checkpoint, not from scratch
+    assert second[0]["fingerprint"] != first[0]["fingerprint"]

@@ -146,3 +146,50 @@ def test_full_loop_sparse(sparse_dir):
     assert np.isfinite(log.losses_epoch["majority"][0])
     evaluate(trainer, loader, log, conf)
     log.compute_metric()
+
+
+@pytest.mark.parametrize("K", [1, 2])
+def test_sparse_eval_grouped_matches_split(sparse_dir, K):
+    """The round-3 fused sparse eval (densify+select+eval in one dispatch,
+    K per dispatch) must match the old split schedule (densify dispatch +
+    fused dense eval) exactly: same losses, same metrics."""
+    from ips_tpu.data.loader import DataLoader
+    from ips_tpu.train.loop import (_batch_mask, _pad_loader_batch,
+                                    _to_host, evaluate)
+    from ips_tpu.train.metrics import MetricsLogger
+    from ips_tpu.train.steps import IPSTrainer
+
+    conf = _conf(sparse_dir, steps_per_dispatch=K)
+    trainer = IPSTrainer(conf)
+    test = MegapixelMNIST(conf, train=False)
+
+    # old split schedule, spelled out
+    log_old = MetricsLogger(conf.task_list)
+    base_rng = jax.random.PRNGKey(conf.seed * 7_000_003 + 1)
+    loader = DataLoader(test, batch_size=conf.B_seq, shuffle=False)
+    for it, batch in enumerate(loader):
+        rng = jax.random.fold_in(base_rng, it)
+        batch, row_weights = _pad_loader_batch(conf, batch)
+        hw = tuple(int(v) for v in np.asarray(batch["img_hw"])[0])
+        patches = trainer.densify(batch["input_idx"], batch["input_val"],
+                                  hw)
+        labels = {t.name: np.asarray(batch[t.name]) for t in conf.task_list}
+        mask = _batch_mask(batch, conf.B, patches.shape[1])
+        loss, tls, prs = trainer.fused_eval_step(
+            patches, jnp.asarray(mask),
+            jax.device_put({k: jnp.asarray(v) for k, v in labels.items()}),
+            jnp.asarray(row_weights), rng)
+        tl, pr = _to_host(tls, prs)
+        log_old.update(tl, pr, labels, weights=row_weights)
+    log_old.compute_metric()
+
+    log_new = MetricsLogger(conf.task_list)
+    evaluate(trainer, DataLoader(test, batch_size=conf.B_seq,
+                                 shuffle=False), log_new, conf)
+    log_new.compute_metric()
+    for t in conf.task_list:
+        np.testing.assert_allclose(
+            np.asarray(log_old.losses_epoch[t.name], np.float64),
+            np.asarray(log_new.losses_epoch[t.name], np.float64), rtol=1e-5)
+        np.testing.assert_allclose(log_old.metrics[t.name],
+                                   log_new.metrics[t.name], rtol=1e-6)

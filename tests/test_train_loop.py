@@ -294,19 +294,21 @@ def _legacy_assembler_epochs(conf, n_epoch, n_samples=16):
 
 
 def test_assembled_fused_matches_legacy_schedule(overfit_conf):
-    """The fused assembled path (r loader batches -> ONE dispatch) must
-    produce the legacy select-assemble-train update sequence exactly:
+    """The fused assembled path (r loader batches -> ONE dispatch, K=2
+    steps per dispatch — the route is gated on steps_per_dispatch > 1)
+    must produce the legacy select-assemble-train update sequence exactly:
     same per-step losses, same final params (VERDICT r2 item 3)."""
     conf = overfit_conf.replace(B_seq=2, n_epoch=2)
     t_legacy, legacy_losses = _legacy_assembler_epochs(conf, 2)
 
-    data = SignalPatches(conf, n_samples=16)
-    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=True,
-                        seed=conf.seed)
-    t_new = IPSTrainer(conf)
-    log = MetricsLogger(conf.task_list)
+    conf_k = conf.replace(steps_per_dispatch=2)
+    data = SignalPatches(conf_k, n_samples=16)
+    loader = DataLoader(data, batch_size=conf_k.B_seq, shuffle=True,
+                        seed=conf_k.seed)
+    t_new = IPSTrainer(conf_k)
+    log = MetricsLogger(conf_k.task_list)
     for epoch in range(2):
-        train_one_epoch(t_new, loader, epoch, log, conf)
+        train_one_epoch(t_new, loader, epoch, log, conf_k)
         log.compute_metric()
 
     new_losses = [float(np.mean(v)) for v in
