@@ -296,11 +296,14 @@ class ShardedIPSTrainer(IPSTrainer):
                        in_shardings=(rep, rep, kdat, kdat, kdatp, kdat,
                                      kdat, rep), **self._out_kw)
 
-    def _select_impl(self, params, batch_stats, patches, mask, rng):
+    def _select_impl(self, params, batch_stats, patches, mask, rng,
+                     preencode=None):
+        # `preencode` passes through to the base path; the CP path streams
+        # per-shard chunks and never pre-encodes (auto resolves off there)
         conf = self.conf
         if self.n_cp <= 1:
             return super()._select_impl(params, batch_stats, patches, mask,
-                                        rng)
+                                        rng, preencode=preencode)
         import jax.numpy as jnp
         if conf.input_dtype == "bfloat16" and patches.dtype != jnp.uint8:
             patches = patches.astype(jnp.bfloat16)
