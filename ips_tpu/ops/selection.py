@@ -152,12 +152,20 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
     patches_seq = _gather_patches(patches, perm) if prepermute else None
 
     # Pre-encode: one (B, N, ...) -> (B, N, D) encoder dispatch in natural
-    # order; the scan then gathers embedding ROWS by permuted index.
-    emb_table = encode_fn(patches) if preencode else None
+    # order, then ONE permutation gather of the embedding table — the scan
+    # slices contiguous rows instead of gathering per chunk (at camelyon
+    # scale the (B, N, D) table exceeds VMEM too, and 35 small in-scan
+    # gathers cost ~7 ms where the single sequential gather is
+    # bandwidth-bound).
+    emb_seq = None
+    if preencode:
+        emb_table = encode_fn(patches)
+        emb_seq = _gather_patches(emb_table, perm)
 
     def chunk_emb(idx, start):
         if preencode:
-            return jnp.take_along_axis(emb_table, idx[..., None], axis=1)
+            return jax.lax.dynamic_slice_in_dim(
+                emb_seq, start, idx.shape[1], axis=1)
         if prepermute:
             return encode_fn(jax.lax.dynamic_slice_in_dim(
                 patches_seq, start, idx.shape[1], axis=1))
