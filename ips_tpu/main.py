@@ -87,16 +87,26 @@ def build_trainer(conf: Config):
 
 
 def _check_multihost_path(conf: Config):
-    """Multi-host supports the eager fused paths (B_seq == B, dense); the
-    assembler/streaming/sparse paths keep host-side state that is not yet
+    """Multi-host supports the eager fused paths (B_seq == B): dense (any
+    steps_per_dispatch) and sparse (grouped, steps_per_dispatch > 1 — the
+    grouped driver is the path whose prep globalizes batches). The
+    assembler/streaming paths keep host-side state that is not yet
     globalized. Fail loud up front instead of mid-epoch."""
     from ips_tpu.train.loop import _use_pipeline
-    if jax.process_count() > 1 and not _use_pipeline(conf):
-        raise ValueError(
-            "multi-host training currently requires the eager fused path: "
-            "eager=true, B_seq == B, sparse_input=false (got eager="
-            f"{conf.eager}, B_seq={conf.B_seq}, B={conf.B}, "
-            f"sparse_input={conf.sparse_input})")
+    if jax.process_count() == 1:
+        return
+    if _use_pipeline(conf):
+        return
+    if (conf.sparse_input and conf.eager and conf.B_seq == conf.B
+            and conf.steps_per_dispatch > 1):
+        return
+    raise ValueError(
+        "multi-host training requires the eager fused path (eager=true, "
+        "B_seq == B, sparse_input=false) or the grouped sparse path "
+        "(sparse_input=true, eager=true, B_seq == B, steps_per_dispatch>1)"
+        f" — got eager={conf.eager}, B_seq={conf.B_seq}, B={conf.B}, "
+        f"sparse_input={conf.sparse_input}, "
+        f"steps_per_dispatch={conf.steps_per_dispatch}")
 
 
 def run(conf: Config, dataset: str):

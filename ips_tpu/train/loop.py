@@ -316,7 +316,7 @@ def _prep_sparse(trainer, conf, base_rng, it, batch):
         p = _prep_fused(trainer, conf, base_rng, it, batch)
         p.payload["kind"] = "dense"
         return p
-    rng = jax.random.fold_in(base_rng, it)
+    rng = trainer.put_replicated(jax.random.fold_in(base_rng, it))
     batch, row_weights = _pad_loader_batch(conf, batch)
     labels = _labels_from_batch(conf, batch)
     hw = tuple(int(v) for v in np.asarray(batch["img_hw"])[0])
@@ -324,7 +324,11 @@ def _prep_sparse(trainer, conf, base_rng, it, batch):
                              "val": batch["input_val"],
                              "labels": labels, "w": row_weights})
     mask = trainer.put_batch(
-        {"m": _batch_mask(batch, conf.B, conf.N)}, patch_dim=1)["m"]
+        {"m": _batch_mask(batch, batch["input_idx"].shape[0], conf.N)},
+        patch_dim=1)["m"]
+    if jax.process_count() > 1:
+        from ips_tpu.parallel.distributed import host_allgather
+        labels, row_weights = host_allgather((labels, row_weights))
     return _Prepped(it, {"put": put, "mask": mask, "hw": hw,
                          "kind": "sparse"}, labels, row_weights, rng)
 

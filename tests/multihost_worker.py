@@ -41,6 +41,7 @@ def main():
     ckpt_dir = os.environ.get("MH_CKPT_DIR", "")
     resume = os.environ.get("MH_RESUME", "") == "1"
     n_epoch = int(os.environ.get("MH_NEPOCH", "2"))
+    sparse = os.environ.get("MH_SPARSE", "") == "1"
 
     from ips_tpu.config import config_from_dict
     from ips_tpu.main import run
@@ -56,7 +57,7 @@ def main():
         use_pos=True, H=4, D=128, D_k=16, D_v=16, D_inner=128,
         donate_buffers=False, steps_per_dispatch=steps_per_dispatch,
         checkpoint_dir=ckpt_dir, checkpoint_every=1 if ckpt_dir else 0,
-        resume=resume, tasks=TASKS))
+        resume=resume, sparse_input=sparse, tasks=TASKS))
 
     trainer, log_train, log_test = run(conf, "mnist")
 

@@ -117,3 +117,16 @@ def test_two_process_checkpoint_resume(mnist_dir, tmp_path):
     assert len(second[0]["losses"]) == 1
     # and actually continued from the checkpoint, not from scratch
     assert second[0]["fingerprint"] != first[0]["fingerprint"]
+
+
+def test_two_process_sparse_grouped_training(mnist_dir):
+    """The flagship's real training shape — sparse_input + K-step grouped
+    dispatch — across 2 processes: densify+select+train runs on global
+    sharded (idx, val) pairs, every process ends with identical replicated
+    params and a decreasing global loss."""
+    r0, r1 = _launch_env(mnist_dir, 2, {"MH_SPARSE": "1"})
+    assert r0["fingerprint"] == r1["fingerprint"], (r0, r1)
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=0, atol=0)
+    losses = r0["losses"]
+    assert len(losses) == 2 and np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"train loss did not decrease: {losses}"
