@@ -130,3 +130,41 @@ def test_two_process_sparse_grouped_training(mnist_dir):
     losses = r0["losses"]
     assert len(losses) == 2 and np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"train loss did not decrease: {losses}"
+
+
+def test_two_process_equals_single_process(mnist_dir):
+    """2-process multi-host training must produce the SAME numbers as the
+    identical single-process run (same global batches, same rngs): the
+    distributed layer is an execution detail, not a semantics change."""
+    r0, _ = _launch(mnist_dir, 1)
+
+    # same config, single process, same seeds/data — run inline
+    from ips_tpu.config import config_from_dict
+    from ips_tpu.main import run
+    from tests.multihost_worker import TASKS
+    conf = config_from_dict(dict(
+        n_epoch=2, B=8, B_seq=8, n_epoch_warmup=1, lr=1e-3, wd=0.1,
+        n_class=10, data_dir=mnist_dir, n_worker=0, eager=True,
+        is_image=True, enc_type="resnet18", n_chan_in=1, n_res_blocks=2,
+        shuffle=True, shuffle_style="batch", n_token=4,
+        N=16, M=4, I=4, patch_size=[50, 50], patch_stride=[50, 50],
+        use_pos=True, H=4, D=128, D_k=16, D_v=16, D_inner=128,
+        donate_buffers=False, tasks=TASKS))
+    trainer, log_train, log_test = run(conf, "mnist")
+
+    import jax
+    import jax.numpy as jnp
+    single_losses = [
+        float(np.mean([log_train.losses_epoch[t.name][e]
+                       for t in log_train.tasks])) for e in range(2)]
+    # per-epoch losses agree to float tolerance (different device counts
+    # reassociate reductions; the sequence itself is the same)
+    np.testing.assert_allclose(single_losses, r0["losses"], rtol=1e-4)
+    single_fp = float(sum(jnp.sum(l.astype(jnp.float32)) for l in
+                          jax.tree_util.tree_leaves(trainer.state.params)))
+    # AdamW's adaptive rescaling compounds fp32 reassociation differences
+    # between device counts (measured ~5e-4 relative after 4 steps); the
+    # strict semantic check is the per-epoch loss equality above
+    assert abs(single_fp - r0["fingerprint"]) / abs(single_fp) < 2e-3, \
+        (single_fp, r0["fingerprint"])
+    assert log_test.latest().keys() == r0["test_metrics"].keys()
