@@ -87,6 +87,7 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
                return_emb: bool = False,
                prepermute: Optional[bool] = None,
                preencode: bool = False,
+               preencode_chunked: bool = False,
                unroll: int = 1) -> SelectionResult:
     """Iterative Patch Selection over a resident (eager) patch tensor.
 
@@ -151,15 +152,40 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
         prepermute = False
     patches_seq = _gather_patches(patches, perm) if prepermute else None
 
-    # Pre-encode: one (B, N, ...) -> (B, N, D) encoder dispatch in natural
-    # order, then ONE permutation gather of the embedding table — the scan
-    # slices contiguous rows instead of gathering per chunk (at camelyon
-    # scale the (B, N, D) table exceeds VMEM too, and 35 small in-scan
-    # gathers cost ~7 ms where the single sequential gather is
-    # bandwidth-bound).
+    # Pre-encode: encode ALL N patches in natural order into a (B, N, D)
+    # table, then ONE permutation gather — the scan slices contiguous rows
+    # instead of gathering per chunk (at camelyon scale the table exceeds
+    # VMEM too, and 35 small in-scan gathers cost ~7 ms where the single
+    # sequential gather is bandwidth-bound).
+    #
+    # preencode_chunked: build the table with a scan of contiguous-slice
+    # encodes instead of one batched dispatch. REQUIRED for conv (image)
+    # encoders at scale: a one-shot encode materializes every intermediate
+    # activation for all B*N patches at once — at camelyon-e2e scale
+    # (160k 50x50 tiles, or 224x224 tiles) that is several GB to tens of
+    # GB of layer-1 activations, while chunked encoding keeps activation
+    # memory at one I-chunk. Identical numerics (encoding is per-patch).
     emb_seq = None
     if preencode:
-        emb_table = encode_fn(patches)
+        if preencode_chunked and N > I:
+            n_enc = -(-N // I)
+            n_pad_enc = n_enc * I - N
+            p_pad = (jnp.concatenate(
+                [patches, jnp.zeros((B, n_pad_enc) + patches.shape[2:],
+                                    patches.dtype)], axis=1)
+                if n_pad_enc else patches)
+
+            def enc_body(_, start):
+                chunk = jax.lax.dynamic_slice_in_dim(p_pad, start, I, axis=1)
+                return None, encode_fn(chunk)
+
+            _, ys = jax.lax.scan(
+                enc_body, None,
+                jnp.arange(n_enc, dtype=jnp.int32) * I)   # (C, B, I, D)
+            emb_table = jnp.moveaxis(ys, 0, 1).reshape(
+                B, n_enc * I, -1)[:, :N]
+        else:
+            emb_table = encode_fn(patches)
         emb_seq = _gather_patches(emb_table, perm)
 
     def chunk_emb(idx, start):

@@ -232,7 +232,14 @@ class IPSTrainer:
             encode, score, patches, M=conf.M, I=conf.I,
             pos_table=self._pos_table_const(), mask=mask, rng=rng,
             shuffle=conf.shuffle, shuffle_style=conf.shuffle_style,
-            preencode=preencode, unroll=conf.select_unroll)
+            preencode=preencode,
+            # conv encoders pre-encode in I-sized chunks: a one-shot encode
+            # would materialize every intermediate activation for B*N
+            # patches at once (GBs at camelyon-e2e scale); the projector
+            # (feature mode) has no spatial blow-up and keeps the faster
+            # single dispatch
+            preencode_chunked=conf.is_image,
+            unroll=conf.select_unroll)
         return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask
 
     def select(self, patches, mask=None, rng=None):

@@ -305,3 +305,46 @@ class TestPreencode:
         np.testing.assert_allclose(np.asarray(a.mem_emb or a.mem_patch),
                                    np.asarray(b.mem_emb or b.mem_patch),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestPreencodeChunked:
+    """preencode_chunked builds the embedding table with a scan of
+    contiguous-slice encodes (bounded activation memory for conv
+    encoders); selection must be identical to both the chunked-gather
+    path and the one-shot preencode, including when N % I != 0 (the
+    encode scan pads the tail and slices it off)."""
+
+    def test_equivalent_all_variants(self):
+        for N in (23, 20):               # 23: ragged encode tail; 20: exact
+            rng = jax.random.PRNGKey(N)
+            patches = jax.random.uniform(rng, (2, N, 3))
+            kw = dict(M=4, I=5, rng=rng, shuffle=True,
+                      shuffle_style="instance")
+            a = ips_select(_value_encode, _value_score, patches,
+                           preencode=False, **kw)
+            b = ips_select(_value_encode, _value_score, patches,
+                           preencode=True, preencode_chunked=True, **kw)
+            c = ips_select(_value_encode, _value_score, patches,
+                           preencode=True, preencode_chunked=False, **kw)
+            np.testing.assert_array_equal(np.asarray(a.mem_idx),
+                                          np.asarray(b.mem_idx))
+            np.testing.assert_array_equal(np.asarray(c.mem_idx),
+                                          np.asarray(b.mem_idx))
+            np.testing.assert_allclose(np.asarray(a.mem_patch),
+                                       np.asarray(b.mem_patch))
+
+    def test_equivalent_with_real_conv_encoder(self, tiny_conf, rng):
+        from ips_tpu.train.steps import IPSTrainer
+        conf = tiny_conf.replace(donate_buffers=False, N=14, M=4, I=4)
+        trainer = IPSTrainer(conf, rng=rng)
+        encode, score = trainer._enc_score_fns(trainer.state.params,
+                                               trainer.state.batch_stats)
+        patches = jax.random.uniform(rng, (2, 14, 16, 16, 1))
+        kw = dict(M=4, I=4, rng=rng, shuffle=True, shuffle_style="batch")
+        a = ips_select(encode, score, patches, preencode=False, **kw)
+        b = ips_select(encode, score, patches, preencode=True,
+                       preencode_chunked=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a.mem_idx),
+                                      np.asarray(b.mem_idx))
+        np.testing.assert_allclose(np.asarray(a.mem_patch),
+                                   np.asarray(b.mem_patch), rtol=1e-6)
