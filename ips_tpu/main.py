@@ -48,22 +48,34 @@ def build_datasets(conf: Config, dataset: str):
 def build_loaders(conf: Config, train_data, test_data):
     from ips_tpu.data.loader import DataLoader
 
+    # Multi-host: every process draws the same seeded batch order but loads
+    # only its slice of each global batch; the sharded trainer's
+    # put_batch/put_assembled assemble the global arrays. For B_seq < B
+    # (the reference's default camelyon shape) the loader runs at
+    # OPTIMIZER-batch granularity (batch_size=B): each process's B/P
+    # contiguous rows are exactly its r/P loader-slots of B_seq rows
+    # (loop._prep_assembled_mh).
+    pi, pc = jax.process_index(), jax.process_count()
+    mh_assembled = (pc > 1 and conf.eager and not conf.sparse_input
+                    and conf.B_seq < conf.B)
+    batch_size = conf.B if mh_assembled else conf.B_seq
+
     def bucket_fn(data):
-        # Variable-N datasets batch B_seq > 1 by grouping same-bucket
-        # slides (reference is locked to B_seq=1, camelyon_config.yml:4-5)
-        if conf.B_seq > 1 and hasattr(data, "bucket_of"):
+        # Variable-N datasets batch > 1 rows by grouping same-bucket
+        # slides (reference is locked to B_seq=1, camelyon_config.yml:4-5).
+        # Multi-host assembled batches ALWAYS bucket when the dataset can:
+        # the global (r, B_seq, N, ...) payload needs one shape per
+        # optimizer batch.
+        if (conf.B_seq > 1 or mh_assembled) and hasattr(data, "bucket_of"):
             return data.bucket_of
         return None
 
-    # Multi-host: every process draws the same seeded batch order but loads
-    # only its B_seq/process_count slice of each global batch; the sharded
-    # trainer's put_batch assembles the global arrays.
-    pi, pc = jax.process_index(), jax.process_count()
-    train_loader = DataLoader(train_data, batch_size=conf.B_seq, shuffle=True,
-                              num_workers=conf.n_worker, seed=conf.seed,
+    train_loader = DataLoader(train_data, batch_size=batch_size,
+                              shuffle=True, num_workers=conf.n_worker,
+                              seed=conf.seed,
                               bucket_fn=bucket_fn(train_data),
                               process_index=pi, process_count=pc)
-    test_loader = DataLoader(test_data, batch_size=conf.B_seq, shuffle=False,
+    test_loader = DataLoader(test_data, batch_size=batch_size, shuffle=False,
                              num_workers=conf.n_worker,
                              bucket_fn=bucket_fn(test_data),
                              process_index=pi, process_count=pc)
@@ -87,24 +99,35 @@ def build_trainer(conf: Config):
 
 
 def _check_multihost_path(conf: Config):
-    """Multi-host supports the eager fused paths (B_seq == B): dense (any
-    steps_per_dispatch) and sparse (grouped, steps_per_dispatch > 1 — the
-    grouped driver is the path whose prep globalizes batches). The
-    assembler/streaming paths keep host-side state that is not yet
-    globalized. Fail loud up front instead of mid-epoch."""
+    """Multi-host supports every eager path: dense fused (B_seq == B, any
+    steps_per_dispatch), sparse fused (B_seq == B, any steps_per_dispatch),
+    and the assembled B_seq < B shape — the reference's default camelyon
+    schedule (reference config/camelyon_config.yml:4-5) — when the r =
+    B/B_seq loader-slot axis divides over processes and the data mesh
+    axis. The streaming (lazy) path keeps host-side selection state that
+    is not globalized. Fail loud up front instead of mid-epoch."""
     from ips_tpu.train.loop import _use_pipeline
     if jax.process_count() == 1:
         return
     if _use_pipeline(conf):
         return
-    if (conf.sparse_input and conf.eager and conf.B_seq == conf.B
-            and conf.steps_per_dispatch > 1):
+    if conf.sparse_input and conf.eager and conf.B_seq == conf.B:
         return
+    if conf.eager and not conf.sparse_input and conf.B_seq < conf.B:
+        n_data = (conf.mesh_data if conf.mesh_data * conf.mesh_patch > 1
+                  else len(jax.devices()) // conf.mesh_patch)
+        r = conf.B // conf.B_seq
+        if r % n_data == 0:
+            return
+        raise ValueError(
+            f"multi-host assembled path (B_seq < B) needs r = B/B_seq "
+            f"divisible by the data mesh axis — got r={r}, "
+            f"data={n_data}; raise B or lower B_seq/mesh size")
     raise ValueError(
-        "multi-host training requires the eager fused path (eager=true, "
-        "B_seq == B, sparse_input=false) or the grouped sparse path "
-        "(sparse_input=true, eager=true, B_seq == B, steps_per_dispatch>1)"
-        f" — got eager={conf.eager}, B_seq={conf.B_seq}, B={conf.B}, "
+        "multi-host training requires an eager path: dense fused "
+        "(B_seq == B), sparse fused (B_seq == B), or assembled "
+        "(B_seq < B, sparse_input=false) — got "
+        f"eager={conf.eager}, B_seq={conf.B_seq}, B={conf.B}, "
         f"sparse_input={conf.sparse_input}, "
         f"steps_per_dispatch={conf.steps_per_dispatch}")
 

@@ -103,10 +103,17 @@ class ShardedIPSTrainer(IPSTrainer):
             conf.mesh_data, conf.mesh_patch)
         self.n_cp = self.mesh.shape[PATCH_AXIS]
         n_dp = self.mesh.shape[DATA_AXIS]
-        if conf.B % n_dp or conf.B_seq % n_dp:
+        if conf.B % n_dp:
             raise ValueError(
-                f"B={conf.B} and B_seq={conf.B_seq} must be multiples of "
-                f"the data mesh axis ({n_dp})")
+                f"B={conf.B} must be a multiple of the data mesh axis "
+                f"({n_dp})")
+        # B_seq need NOT divide the data axis: selection over a
+        # (B_seq, N, ...) loader batch then shards the patch axis only
+        # (row-replicated), and the assembled fused path shards the
+        # r = B/B_seq loader-slot axis instead (_assembled_spec) — this is
+        # how the reference's default camelyon shape (B_seq=1,
+        # camelyon_config.yml:4-5) runs on a mesh at all.
+        self._seq_dat = DATA_AXIS if conf.B_seq % n_dp == 0 else None
         if self.n_cp > 1:
             if conf.N % self.n_cp:
                 raise ValueError(
@@ -138,9 +145,10 @@ class ShardedIPSTrainer(IPSTrainer):
             self.state = jax.device_put(self.state, rep)
 
         donate = (0,) if conf.donate_buffers else ()
+        seqdatp = NamedSharding(self.mesh, P(self._seq_dat, PATCH_AXIS))
         self._select = jax.jit(
             self._select_impl,
-            in_shardings=(rep, rep, datp, datp, rep), **self._out_kw)
+            in_shardings=(rep, rep, seqdatp, seqdatp, rep), **self._out_kw)
         self._train = jax.jit(
             self._train_impl, donate_argnums=donate,
             in_shardings=(rep, dat, dat, dat, dat, dat, rep, rep),
@@ -167,6 +175,31 @@ class ShardedIPSTrainer(IPSTrainer):
         from ips_tpu.parallel.mesh import shard_batch
         return shard_batch(self.mesh, tree, patch_dim)
 
+    def put_assembled(self, tree):
+        """Place a stacked assembled payload (r, B_seq, N, ...): the r
+        loader-slot axis shards over `data`, the N patch axis over `patch`.
+
+        Multi-host: each process passes its LOCAL (r/P, B_seq, N, ...)
+        slot stack (its contiguous chunk of the global optimizer batch,
+        loaded by the process-sharded DataLoader at optimizer-batch
+        granularity); the global r-slot array keeps each host's slots on
+        its own devices."""
+        if self._multihost:
+            from ips_tpu.parallel.distributed import shard_batch_global
+            return shard_batch_global(self.mesh, tree, patch_dim=2)
+        from jax.sharding import NamedSharding
+
+        from ips_tpu.parallel.mesh import batch_spec
+
+        def put(x):
+            if x is None:
+                return None
+            import numpy as np
+            spec = batch_spec(np.ndim(x), 2 if np.ndim(x) > 2 else None)
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(put, tree)
+
     def put_replicated(self, tree):
         """Replicate small per-step values (rng keys) over the mesh; every
         process passes identical values (seeded from the step index)."""
@@ -190,7 +223,12 @@ class ShardedIPSTrainer(IPSTrainer):
         if (self.n_cp > 1 and ndim >= 2
                 and np.shape(x)[1] % self.n_cp == 0):
             patch_dim = 1
-        return NamedSharding(self.mesh, batch_spec(ndim, patch_dim))
+        spec = batch_spec(ndim, patch_dim)
+        if np.shape(x)[0] % self.mesh.shape[DATA_AXIS]:
+            # B_seq rows don't divide the data axis (e.g. the reference's
+            # B_seq=1 camelyon shape): replicate rows, shard patches only
+            spec = P(None, *spec[1:])
+        return NamedSharding(self.mesh, spec)
 
     def _stream_out_sharding(self, x):
         """Streamed-selection outputs feed the train/eval jits, whose
@@ -245,11 +283,40 @@ class ShardedIPSTrainer(IPSTrainer):
                        in_shardings=(rep, kdat, kdat, kdatp, kdat, kdat,
                                      rep, rep), **self._out_kw)
 
+    def _assembled_spec(self) -> P:
+        """Sharding of the stacked (r, B_seq, N, ...) assembled payload.
+
+        Two valid data-parallel layouts exist; pick by divisibility:
+
+        * shard the r loader-slot axis (dim 0) — REQUIRED under multi-host
+          (each process's r/P slots stay on its own devices; see
+          loop._train_epoch_assembled_mh) and the only option when
+          B_seq < n_data (the reference's default camelyon shape is
+          B_seq=1, reference config/camelyon_config.yml:4-5);
+        * shard the B_seq row axis (dim 1) — the single-process layout
+          when B_seq divides n_data (kept for continuity with the
+          measured round-3 behavior).
+
+        Either way the flattened (B, M, D) train batch lands r-major, so
+        the `dat`-sharded labels line up with slot-axis sharding exactly
+        and cost one small reshard under row-axis sharding.
+        """
+        nd = self.mesh.shape[DATA_AXIS]
+        r = self.conf.B // max(self.conf.B_seq, 1)
+        if not self._multihost and self.conf.B_seq % nd == 0:
+            return P(None, DATA_AXIS, PATCH_AXIS)
+        if r % nd == 0:
+            return P(DATA_AXIS, None, PATCH_AXIS)
+        if self._multihost:
+            raise ValueError(
+                f"multi-host assembled path needs r = B/B_seq divisible by "
+                f"the data-axis size (r={r}, data={nd})")
+        return P(None, None, PATCH_AXIS)
+
     def _jit_fused_assembled(self):
         rep, dat, datp = self._shardings
         donate = (0,) if self.conf.donate_buffers else ()
-        # leading (r,) loader-batch axis unsharded; batch dims shift by one
-        rdatp = NamedSharding(self.mesh, P(None, DATA_AXIS, PATCH_AXIS))
+        rdatp = NamedSharding(self.mesh, self._assembled_spec())
         return jax.jit(self._fused_assembled_impl, donate_argnums=donate,
                        in_shardings=(rep, rdatp, rdatp, dat, dat, rep, rep,
                                      rep), **self._out_kw)
@@ -257,8 +324,7 @@ class ShardedIPSTrainer(IPSTrainer):
     def _jit_fused_assembled_multi(self):
         rep, dat, datp = self._shardings
         donate = (0,) if self.conf.donate_buffers else ()
-        krdatp = NamedSharding(self.mesh,
-                               P(None, None, DATA_AXIS, PATCH_AXIS))
+        krdatp = NamedSharding(self.mesh, P(None, *self._assembled_spec()))
         kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
         return jax.jit(self._fused_assembled_multi_impl,
                        donate_argnums=donate,
@@ -267,15 +333,14 @@ class ShardedIPSTrainer(IPSTrainer):
 
     def _jit_fused_assembled_eval(self):
         rep, dat, datp = self._shardings
-        rdatp = NamedSharding(self.mesh, P(None, DATA_AXIS, PATCH_AXIS))
+        rdatp = NamedSharding(self.mesh, self._assembled_spec())
         return jax.jit(self._fused_assembled_eval_impl,
                        in_shardings=(rep, rep, rdatp, rdatp, dat, dat, rep),
                        **self._out_kw)
 
     def _jit_fused_assembled_eval_multi(self):
         rep, dat, datp = self._shardings
-        krdatp = NamedSharding(self.mesh,
-                               P(None, None, DATA_AXIS, PATCH_AXIS))
+        krdatp = NamedSharding(self.mesh, P(None, *self._assembled_spec()))
         kdat = NamedSharding(self.mesh, P(None, DATA_AXIS))
         return jax.jit(self._fused_assembled_eval_multi_impl,
                        in_shardings=(rep, rep, krdatp, krdatp, kdat, kdat,
@@ -295,6 +360,50 @@ class ShardedIPSTrainer(IPSTrainer):
                        static_argnums=(8,),
                        in_shardings=(rep, rep, kdat, kdat, kdatp, kdat,
                                      kdat, rep), **self._out_kw)
+
+    def _place_assembled(self, patches, mask, labels, weights, lead=0):
+        """Re-place eagerly-stacked assembled payloads onto the jits'
+        expected shardings: jnp.stack/concatenate of per-batch sharded
+        arrays carries a GSPMD-inferred sharding that explicit
+        in_shardings reject (instead of resharding) whenever the per-batch
+        layout differs — e.g. B_seq < n_data batches are row-replicated,
+        while the assembled jit shards the loader-slot axis
+        (_assembled_spec). `lead` counts extra leading axes (1 for the
+        K-stacked multi-step payloads)."""
+        lead_n = [None] * lead
+        s_pm = NamedSharding(self.mesh, P(*lead_n, *self._assembled_spec()))
+        s_dat = NamedSharding(self.mesh, P(*lead_n, DATA_AXIS))
+        return (jax.device_put(patches, s_pm), jax.device_put(mask, s_pm),
+                {k: jax.device_put(v, s_dat) for k, v in labels.items()},
+                jax.device_put(weights, s_dat))
+
+    def fused_assembled_step(self, patches, mask, labels, weights, sel_rngs,
+                             train_rng, lr):
+        patches, mask, labels, weights = self._place_assembled(
+            patches, mask, labels, weights)
+        return super().fused_assembled_step(patches, mask, labels, weights,
+                                            sel_rngs, train_rng, lr)
+
+    def fused_assembled_multi_step(self, patches, mask, labels, weights,
+                                   sel_rngs, train_rngs, lrs):
+        patches, mask, labels, weights = self._place_assembled(
+            patches, mask, labels, weights, lead=1)
+        return super().fused_assembled_multi_step(
+            patches, mask, labels, weights, sel_rngs, train_rngs, lrs)
+
+    def fused_assembled_eval_step(self, patches, mask, labels, weights,
+                                  sel_rngs):
+        patches, mask, labels, weights = self._place_assembled(
+            patches, mask, labels, weights)
+        return super().fused_assembled_eval_step(patches, mask, labels,
+                                                 weights, sel_rngs)
+
+    def fused_assembled_eval_multi_step(self, patches, mask, labels,
+                                        weights, sel_rngs):
+        patches, mask, labels, weights = self._place_assembled(
+            patches, mask, labels, weights, lead=1)
+        return super().fused_assembled_eval_multi_step(
+            patches, mask, labels, weights, sel_rngs)
 
     def _select_impl(self, params, batch_stats, patches, mask, rng,
                      preencode=None):

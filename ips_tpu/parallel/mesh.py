@@ -48,11 +48,18 @@ def batch_spec(ndim: int, patch_dim: Optional[int] = None) -> P:
 
 
 def shard_batch(mesh: Mesh, tree: Any, patch_dim: Optional[int] = None) -> Any:
-    """Device-put a batch pytree sharded over the data (and patch) axes."""
+    """Device-put a batch pytree sharded over the data (and patch) axes.
+
+    A leading dim that does not divide the data axis (e.g. a B_seq=1
+    loader batch on a multi-device mesh — the reference's default
+    camelyon shape) is replicated instead; any patch_dim sharding is
+    kept."""
     def put(x):
         if x is None:
             return None
         spec = batch_spec(np.ndim(x), patch_dim if np.ndim(x) > 1 else None)
+        if np.shape(x)[0] % mesh.shape[DATA_AXIS]:
+            spec = P(None, *spec[1:])
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree.map(put, tree)
 

@@ -243,6 +243,142 @@ def _prep_fused(trainer, conf, base_rng, it, batch):
                     labels, row_weights, rng)
 
 
+def _prep_assembled_mh(trainer, conf, base_rng, it, batch, steps_seq,
+                       epoch, train: bool):
+    """One OPTIMIZER batch under multi-host B_seq < B (the reference's
+    default camelyon shape, reference config/camelyon_config.yml:4-5).
+
+    The process-sharded DataLoader runs at optimizer-batch granularity
+    (batch_size=B, main.build_loaders): this process's local `batch` is
+    its contiguous B/P rows of global optimizer batch `it`, i.e. its
+    r/P loader-slots of B_seq rows (r = B/B_seq; requires r % P == 0).
+    The global (r, B_seq, N, ...) payload shards slot-major over `data`
+    (ShardedIPSTrainer.put_assembled), so each host's slots stay on its
+    own devices and the flattened B-row train batch lands r-major —
+    exactly matching the `dat`-sharded labels.
+
+    rng/lr sequences equal the single-process legacy schedule's: global
+    slot g = it*r + j is "loader batch g" there, so selection rng_j =
+    fold_in(base, g), the train rng folds the LAST slot's key, and the lr
+    uses the last slot's B_seq-unit step index (steps_seq = B_seq-unit
+    steps per epoch).
+    """
+    n_proc = jax.process_count()
+    r = conf.B // conf.B_seq
+    rows = batch["input"].shape[0]
+    if rows != conf.B // n_proc:
+        # process-sharded loaders force drop_last, so every yielded batch
+        # is full-size; anything else is a wiring bug — fail loud
+        raise ValueError(
+            f"multi-host assembled: expected {conf.B // n_proc} local "
+            f"rows, got {rows}")
+    r_loc = r // n_proc
+    N = batch["input"].shape[1]
+
+    slot0 = epoch * steps_seq + it * r
+    sel_keys = jnp.stack([jax.random.fold_in(base_rng, it * r + j)
+                          for j in range(r)])
+    labels = _labels_from_batch(conf, batch)
+    row_weights = np.ones(rows, np.float32)
+    mask = _batch_mask(batch, rows, N)
+
+    x = np.asarray(batch["input"])
+    payload = trainer.put_assembled({
+        "p": x.reshape((r_loc, conf.B_seq) + x.shape[1:]),
+        "m": np.asarray(mask).reshape(r_loc, conf.B_seq, N)})
+    put = trainer.put_batch({"labels": labels, "w": row_weights})
+    sk = trainer.put_replicated(sel_keys)
+    item = {"p": payload["p"], "m": payload["m"],
+            "lab": put["labels"], "w": put["w"], "sk": sk, "it": it}
+    if train:
+        item["tk"] = trainer.put_replicated(
+            jax.random.fold_in(jax.random.fold_in(base_rng,
+                                                  it * r + r - 1), 1))
+        item["lr"] = warmup_cosine_lr(slot0 + r, steps_seq, conf.n_epoch,
+                                      conf.n_epoch_warmup, conf.lr)
+    from ips_tpu.parallel.distributed import host_allgather
+    item["host_lab"], item["host_w"] = host_allgather((labels, row_weights))
+    return item
+
+
+def _flush_assembled_mh(trainer, conf, logger, items, train: bool,
+                        epoch: int, steps_seq: int):
+    """Dispatch pending multi-host assembled optimizer/eval batches: one
+    K-stacked dispatch for a full homogeneous group, singles otherwise
+    (bucket shape changes and the epoch tail)."""
+    if not items:
+        return
+    K = conf.steps_per_dispatch
+
+    def log_item(i, loss, task_losses, preds):
+        if train:
+            _maybe_log_step(conf, epoch * steps_seq + (i["it"] + 1) * conf.B
+                            // conf.B_seq - 1, loss, i.get("lr", 0.0))
+        tl, pr = _to_host(task_losses, preds)
+        logger.update(tl, pr,
+                      {k: np.asarray(v) for k, v in i["host_lab"].items()},
+                      weights=np.asarray(i["host_w"]))
+
+    shapes = {i["p"].shape for i in items}
+    if len(items) == K and K > 1 and len(shapes) == 1:
+        stack = lambda key: jnp.stack([i[key] for i in items])
+        lab = {k: jnp.stack([i["lab"][k] for i in items])
+               for k in items[0]["lab"]}
+        if train:
+            losses, task_losses, preds = trainer.fused_assembled_multi_step(
+                stack("p"), stack("m"), lab, stack("w"), stack("sk"),
+                stack("tk"), jnp.asarray([i["lr"] for i in items]))
+        else:
+            losses, task_losses, preds = \
+                trainer.fused_assembled_eval_multi_step(
+                    stack("p"), stack("m"), lab, stack("w"), stack("sk"))
+        for j, i in enumerate(items):
+            log_item(i, losses[j], {k: v[j] for k, v in task_losses.items()},
+                     {k: v[j] for k, v in preds.items()})
+        return
+    for i in items:
+        if train:
+            loss, task_losses, preds = trainer.fused_assembled_step(
+                i["p"], i["m"], i["lab"], i["w"], i["sk"], i["tk"], i["lr"])
+        else:
+            loss, task_losses, preds = trainer.fused_assembled_eval_step(
+                i["p"], i["m"], i["lab"], i["w"], i["sk"])
+        log_item(i, loss, task_losses, preds)
+
+
+def _epoch_assembled_mh(trainer, loader, epoch, logger, conf, base_rng,
+                        train: bool):
+    """Multi-host driver for the B_seq < B shape, train and eval: every
+    loader yield is one global optimizer batch; K homogeneous batches
+    group into one dispatch (any bucket-shape change flushes early to
+    keep the update order)."""
+    r = conf.B // conf.B_seq
+    K = conf.steps_per_dispatch
+    steps_seq = len(loader) * r
+    prep = lambda ib: _prep_assembled_mh(trainer, conf, base_rng, ib[0],
+                                         ib[1], steps_seq, epoch, train)
+    last_lr = 0.0
+    pending = []
+
+    def flush():
+        nonlocal last_lr, pending
+        if pending:
+            _flush_assembled_mh(trainer, conf, logger, pending, train,
+                                epoch, steps_seq)
+            last_lr = pending[-1].get("lr", last_lr)
+            pending = []
+
+    for item in _prefetched(enumerate(loader), prep,
+                            max(conf.prefetch_depth, K + 1)):
+        if pending and pending[-1]["p"].shape != item["p"].shape:
+            flush()
+        pending.append(item)
+        if len(pending) == K:
+            flush()
+    flush()
+    return last_lr
+
+
 def _yields_sparse(loader) -> bool:
     """Does the loader's dataset emit (input_idx, input_val) samples?
 
@@ -595,6 +731,14 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
 
     grouped = conf.steps_per_dispatch > 1 and not conf.track_efficiency
     # (track_efficiency keeps the K=1 paths so per-step timing stays exact)
+    if (jax.process_count() > 1 and conf.eager and not conf.sparse_input
+            and conf.B_seq < conf.B):
+        # multi-host B_seq < B: the loader runs at optimizer-batch
+        # granularity and every path is the fused assembled one (the
+        # legacy host-side assembler is per-process state that cannot
+        # span hosts) — any steps_per_dispatch
+        return _epoch_assembled_mh(trainer, loader, epoch, logger, conf,
+                                   base_rng, train=True)
     if _use_pipeline(conf):
         if grouped:
             return _train_epoch_grouped(trainer, loader, epoch, logger,
@@ -631,7 +775,9 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             tracker.start()
             labels = _labels_from_batch(conf, batch)
             hw = tuple(int(v) for v in np.asarray(batch["img_hw"])[0])
-            mask = _batch_mask(batch, conf.B, conf.N)
+            # LOCAL rows (B/process_count under multi-host), like
+            # _prep_sparse — put_batch assembles the global mask
+            mask = _batch_mask(batch, batch["input_idx"].shape[0], conf.N)
             last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
                                        conf.n_epoch, conf.n_epoch_warmup,
                                        conf.lr)
@@ -642,7 +788,12 @@ def train_one_epoch(trainer: IPSTrainer, loader, epoch: int, logger, conf: Confi
             mask = trainer.put_batch({"m": mask}, patch_dim=1)["m"]
             loss, task_losses, preds = trainer.fused_sparse_step(
                 put["idx"], put["val"], hw, mask, put["labels"],
-                put["w"], rng, last_lr)
+                put["w"], trainer.put_replicated(rng), last_lr)
+            if jax.process_count() > 1:
+                # preds come back replicated GLOBAL under multi-host; line
+                # the host label/weight copies up for metric logging
+                from ips_tpu.parallel.distributed import host_allgather
+                labels, row_weights = host_allgather((labels, row_weights))
             _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
                             last_lr, loss, task_losses, preds, labels,
                             row_weights)
@@ -878,6 +1029,10 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
     assembler = BatchAssembler(conf)
     base_rng = jax.random.PRNGKey(conf.seed * 7_000_003 + 1)
 
+    if (jax.process_count() > 1 and conf.eager and not conf.sparse_input
+            and conf.B_seq < conf.B):
+        return _epoch_assembled_mh(trainer, loader, 0, logger, conf,
+                                   base_rng, train=False)
     if _use_pipeline(conf):
         return _eval_pipelined(trainer, loader, logger, conf, base_rng)
     if (conf.sparse_input and conf.eager and conf.B_seq == conf.B
@@ -903,11 +1058,15 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
         if conf.eager and conf.B_seq == conf.B:
             patches = batch["input"]
             patches, mask = _put_select(
-                trainer, patches, _batch_mask(batch, conf.B,
+                trainer, patches, _batch_mask(batch, patches.shape[0],
                                               patches.shape[1]))
             put = trainer.put_batch({"labels": labels, "w": row_weights})
             loss, task_losses, preds = trainer.fused_eval_step(
-                patches, mask, put["labels"], put["w"], rng)
+                patches, mask, put["labels"], put["w"],
+                trainer.put_replicated(rng))
+            if jax.process_count() > 1:
+                from ips_tpu.parallel.distributed import host_allgather
+                labels, row_weights = host_allgather((labels, row_weights))
             tl, pr = _to_host(task_losses, preds)
             logger.update(tl, pr, {k: np.asarray(v)
                                    for k, v in labels.items()},

@@ -42,6 +42,9 @@ def main():
     resume = os.environ.get("MH_RESUME", "") == "1"
     n_epoch = int(os.environ.get("MH_NEPOCH", "2"))
     sparse = os.environ.get("MH_SPARSE", "") == "1"
+    # B_seq < B routes through the multi-host assembled path (the
+    # reference's default camelyon shape, camelyon_config.yml:4-5)
+    b_seq = int(os.environ.get("MH_BSEQ", "8"))
 
     from ips_tpu.config import config_from_dict
     from ips_tpu.main import run
@@ -49,7 +52,8 @@ def main():
     conf = config_from_dict(dict(
         multihost=True, coordinator_address=f"localhost:{port}",
         num_processes=2, process_id=pid, cpu_collectives="gloo",
-        n_epoch=n_epoch, B=8, B_seq=8, n_epoch_warmup=1, lr=1e-3, wd=0.1,
+        n_epoch=n_epoch, B=8, B_seq=b_seq, n_epoch_warmup=1, lr=1e-3,
+        wd=0.1,
         n_class=10, data_dir=data_dir, n_worker=0, eager=True,
         is_image=True, enc_type="resnet18", n_chan_in=1, n_res_blocks=2,
         shuffle=True, shuffle_style="batch", n_token=4,

@@ -104,9 +104,11 @@ def test_build_trainer_selects_sharded(mnist_dir):
 
 
 def test_mesh_rejects_indivisible_batch(mnist_dir):
+    """B (the optimizer batch) must divide the data axis; B_seq need not
+    (selection row-replicates, the assembled path shards loader-slots)."""
     from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer
     conf = _conf(mnist_dir, mesh_data=8, mesh_patch=1).replace(B=6, B_seq=6)
-    with pytest.raises(ValueError, match="multiples of"):
+    with pytest.raises(ValueError, match="multiple of"):
         ShardedIPSTrainer(conf)
 
 
@@ -115,6 +117,21 @@ def test_mesh_rejects_cp_overflow(mnist_dir):
     conf = _conf(mnist_dir, mesh_data=2, mesh_patch=4)  # N/cp=4 == M
     with pytest.raises(ValueError, match="M < N/mesh_patch"):
         ShardedIPSTrainer(conf)
+
+
+def test_cli_mesh_assembled_bseq1(mnist_dir):
+    """B_seq=1 — the reference's EXACT camelyon default
+    (camelyon_config.yml:4-5) — on a 4-way data mesh: previously a
+    constructor error (B_seq cannot shard over rows); now selection
+    row-replicates and the grouped assembled path shards the r = B
+    loader-slot axis over `data` (_assembled_spec)."""
+    conf = _conf(mnist_dir, mesh_data=4, mesh_patch=2).replace(
+        B=8, B_seq=1, steps_per_dispatch=2, n_epoch=1)
+    trainer, log_train, _ = run(conf, "mnist")
+    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+        assert leaf.sharding.is_fully_replicated
+    losses = _mean_losses(log_train)
+    assert len(losses) == conf.n_epoch and np.isfinite(losses).all()
 
 
 def test_cli_mesh_assembled_path(mnist_dir):
