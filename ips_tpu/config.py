@@ -149,6 +149,18 @@ class Config:
                                        # bf16) one batch is ~69 MB, so
                                        # K=32 holds ~4-6 GB; halve K if a
                                        # dense-image config OOMs
+    ln_fold: bool = False              # feature-projector LayerNorm->GEMM
+                                       # fold: the LN row-affine commutes
+                                       # through the linear layer, so the
+                                       # GEMM reads raw bf16 rows and the
+                                       # normalization is applied to the
+                                       # (.., D) output (fp32 accumulation;
+                                       # see models/encoders.py). Removes
+                                       # the fp32 upcast of the whole
+                                       # (B, N, n_chan_in) table from the
+                                       # selection encode. Numerics differ
+                                       # from the exact path only at bf16
+                                       # rounding scale; feature mode only
     select_unroll: int = 1             # lax.scan unroll factor for the
                                        # selection loop (semantics-identical;
                                        # lets XLA overlap scoring/top-k with

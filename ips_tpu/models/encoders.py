@@ -193,24 +193,78 @@ class ConvPatchEncoder(nn.Module):
         return jnp.mean(y, axis=(1, 2)).astype(jnp.float32)
 
 
+class _LinearParams(nn.Module):
+    """Registers kernel+bias with nn.Dense's exact param tree and init
+    streams (same names, shapes, init args under this module's scope), so
+    the folded projector below shares checkpoints with the nn.Dense path."""
+
+    fan_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        from ips_tpu.models.transformer import torch_linear_init
+        init = torch_linear_init(self.fan_in)
+        kernel = self.param("kernel", init, (self.fan_in, self.features),
+                            jnp.float32)
+        bias = self.param("bias", init, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class FeatureProjector(nn.Module):
-    """Projector for precomputed features: LN(no affine)->Dense->BN->ReLU."""
+    """Projector for precomputed features: LN(no affine)->Dense->BN->ReLU.
+
+    ln_fold: TPU-native formulation of the same map. LayerNorm's per-row
+    affine commutes through the linear layer,
+
+        ((x - m) * r) @ W + b  ==  r * (x @ W) - (r * m) * colsum(W) + b
+
+    so the GEMM reads the RAW bf16 feature rows and the normalization
+    becomes a row-affine on the (.., D) output — 2048/D x less elementwise
+    traffic, and XLA stops materializing an fp32 upcast of the whole
+    (B, N, n_chan_in) table (measured: the upcast fusion alone was
+    4.0 ms/step at camelyon scale, results/camelyon_op_breakdown_auto2.json).
+    The GEMM accumulates in fp32 (preferred_element_type) and the affine is
+    applied in fp32, so the fold loses no precision to the cancellation of
+    the mean term; numerics differ from the exact path only at bf16
+    rounding scale (the exact path rounds the normalized rows to bf16
+    before the GEMM, the fold rounds nothing — selection fidelity measured
+    in RESULTS.md). Param tree and init values are identical either way.
+    """
 
     n_chan_in: int
     D: int
     dtype: jnp.dtype = jnp.float32
+    ln_fold: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool,
                  row_weights=None) -> jax.Array:
         """x: (B, n_chan_in) -> (B, D)."""
-        y = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
-                         name="ln")(x)
         # torch Linear default init (with bias) — see transformer.torch_linear_init
         from ips_tpu.models.transformer import torch_linear_init
-        y = nn.Dense(self.D, kernel_init=torch_linear_init(self.n_chan_in),
-                     bias_init=torch_linear_init(self.n_chan_in),
-                     dtype=self.dtype, name="fc")(y)
+        lin_init = torch_linear_init(self.n_chan_in)
+        if not self.ln_fold:
+            y = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
+                             name="ln")(x)
+            y = nn.Dense(self.D, kernel_init=lin_init, bias_init=lin_init,
+                         dtype=self.dtype, name="fc")(y)
+        else:
+            kernel, bias = _LinearParams(fan_in=self.n_chan_in,
+                                         features=self.D, name="fc")()
+            xf = x.astype(jnp.float32)
+            # flax LayerNorm's fast-variance stats, replicated exactly
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            mu2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            var = jnp.maximum(0.0, mu2 - jnp.square(mu))
+            r = jax.lax.rsqrt(var + 1e-5)
+            kb = kernel.astype(self.dtype)
+            z = jax.lax.dot_general(
+                x.astype(self.dtype), kb,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            colsum = jnp.sum(kb.astype(jnp.float32), axis=0)
+            y = (z * r - (r * mu) * colsum + bias).astype(self.dtype)
         y = MaskedBatchNorm(name="bn")(y, use_running_average=not train,
                                        weights=row_weights)
         return jax.nn.relu(y).astype(jnp.float32)

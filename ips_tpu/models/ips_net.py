@@ -55,7 +55,8 @@ class IPSModel(nn.Module):
                 dtype=dtype, name="encoder")
         else:
             self.encoder = FeatureProjector(
-                n_chan_in=c.n_chan_in, D=c.D, dtype=dtype, name="encoder")
+                n_chan_in=c.n_chan_in, D=c.D, dtype=dtype,
+                ln_fold=c.ln_fold, name="encoder")
         self.transf = CrossAttnTransformer(
             n_token=c.n_token, H=c.H, D=c.D, D_k=c.D_k, D_v=c.D_v,
             D_inner=c.D_inner, attn_dropout=c.attn_dropout, dropout=c.dropout,

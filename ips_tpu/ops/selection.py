@@ -71,11 +71,16 @@ def select_top_m(emb: jax.Array, emb_to_score: jax.Array, idx: jax.Array,
     """
     scores = score_fn(emb_to_score, valid)               # (B, L)
     scores = jnp.where(valid, scores, NEG_INF)
-    _, top_pos = jax.lax.top_k(scores, M)                # (B, M), stable ties
+    top_val, top_pos = jax.lax.top_k(scores, M)          # (B, M), stable ties
     top_pos = top_pos.astype(jnp.int32)
     mem_emb = jnp.take_along_axis(emb, top_pos[..., None], axis=1)
     mem_idx = jnp.take_along_axis(idx, top_pos, axis=1)
-    mem_valid = jnp.take_along_axis(valid, top_pos, axis=1)
+    # Validity rides the score: invalid candidates score exactly NEG_INF
+    # (the where above) while valid scores are softmax means in [0, 1], so
+    # the kept values identify the kept mask — equal to gathering `valid`
+    # by top_pos, without a 1-byte-row gather (measured 0.8 ms at camelyon
+    # scale, ~10 ns per gathered element regardless of width).
+    mem_valid = top_val > (0.5 * NEG_INF)
     return mem_emb, mem_idx, mem_valid
 
 
@@ -137,10 +142,14 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
     if n_pad:
         perm = jnp.concatenate(
             [perm, jnp.zeros((B, n_pad), jnp.int32)], axis=1)
-    perm_valid = jnp.take_along_axis(full_mask, perm[:, :N], axis=1)
-    if n_pad:
-        perm_valid = jnp.concatenate(
-            [perm_valid, jnp.zeros((B, n_pad), dtype=bool)], axis=1)
+    # make_permutation guarantees every valid patch precedes every padded
+    # slot (tested: tests/test_selection.py), so validity along the
+    # permuted order is position < n_valid — computing it this way instead
+    # of take_along_axis(full_mask, perm) removes a (B, N) boolean gather
+    # that costs ~10 ns/element (1.6 ms at camelyon scale) for 1-byte rows.
+    n_valid = jnp.sum(full_mask, axis=1, dtype=jnp.int32)          # (B,)
+    perm_valid = (jnp.arange(N + n_pad, dtype=jnp.int32)[None, :]
+                  < n_valid[:, None])
 
     # Optional: physically permute once and slice chunks contiguously
     # instead of gathering per iteration. Semantically identical (tested);

@@ -40,7 +40,9 @@ def main():
     from ips_tpu.train.steps import IPSTrainer
 
     print(f"profiling on {jax.devices()[0]}", file=sys.stderr, flush=True)
+    ln_fold = "--ln-fold" in sys.argv
     conf = config_from_dict(dict(
+        ln_fold=ln_fold,
         n_epoch=1, B=B, B_seq=B, n_epoch_warmup=1, lr=3e-4, wd=0.1,
         n_class=1, is_image=False, enc_type="resnet50", n_chan_in=D_FEAT,
         shuffle=True, shuffle_style="batch", n_token=1,

@@ -109,3 +109,53 @@ class TestStemS2D:
         y1 = np.asarray(m1.apply(v1, x, train=False))
         y2 = np.asarray(m2.apply(v1, x, train=False))  # v1 params in s2d
         np.testing.assert_allclose(y2, y1, rtol=1e-4, atol=1e-5)
+
+
+class TestLNFold:
+    """The LN->GEMM fold (FeatureProjector ln_fold=True) must share the
+    exact param tree/init values with the nn.Dense path and agree with it
+    numerically (it removes the bf16 rounding of the normalized rows, so
+    agreement is to bf16 tolerance, exact-path-rounding-limited)."""
+
+    def _pair(self, dtype):
+        a = FeatureProjector(n_chan_in=64, D=16, dtype=dtype, ln_fold=False)
+        b = FeatureProjector(n_chan_in=64, D=16, dtype=dtype, ln_fold=True)
+        x = jax.random.normal(jax.random.PRNGKey(1), (32, 64)) * 3.0 + 5.0
+        va = a.init(jax.random.PRNGKey(0), x, train=False)
+        vb = b.init(jax.random.PRNGKey(0), x, train=False)
+        return a, b, va, vb, x
+
+    def test_param_tree_and_init_values_identical(self):
+        _, _, va, vb, _ = self._pair(jnp.float32)
+        fa = jax.tree_util.tree_leaves_with_path(va["params"])
+        fb = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(vb["params"])}
+        # fold path has no (param-free) LN module; fc/bn params must match
+        for k, v in fa:
+            ks = jax.tree_util.keystr(k)
+            assert ks in fb, ks
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(fb[ks]))
+
+    def test_fold_matches_exact_fp32(self):
+        a, b, va, vb, x = self._pair(jnp.float32)
+        ya = a.apply(va, x, train=False)
+        yb = b.apply(vb, x, train=False)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_fold_matches_exact_bf16(self):
+        a, b, va, vb, x = self._pair(jnp.bfloat16)
+        ya = a.apply(va, x.astype(jnp.bfloat16), train=False)
+        yb = b.apply(vb, x.astype(jnp.bfloat16), train=False)
+        # the exact path rounds normalized rows to bf16 pre-GEMM; the fold
+        # accumulates in fp32 — differences are bf16-rounding-scale
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=0.05, atol=0.05)
+
+    def test_fold_checkpoint_interchangeable(self):
+        # params trained/saved on one path load on the other
+        a, b, va, vb, x = self._pair(jnp.float32)
+        ya = a.apply(vb, x, train=False)   # exact path, fold-init params
+        yb = b.apply(va, x, train=False)   # fold path, exact-init params
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=2e-4, atol=2e-5)
