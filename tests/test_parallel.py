@@ -173,3 +173,30 @@ class TestShardedTrainer:
         table = np.asarray(trainer.pos_table)
         np.testing.assert_allclose(np.asarray(mem_pos)[0], table[idx[0]],
                                    rtol=1e-6)
+
+    def test_feature_mode_ln_fold_sharded_4x2(self, feat_conf):
+        # camelyon product shape under the mesh: feature-mode projector
+        # with the LN->GEMM fold vs the exact path — same init rng gives
+        # the same param tree (tests/test_encoders.py TestLNFold), so the
+        # two losses must agree to float32 rounding under dp x cp sharding
+        losses = {}
+        for fold in (False, True):
+            conf = feat_conf.replace(B=4, B_seq=4, N=32, M=8, I=8,
+                                     mesh_data=4, mesh_patch=2,
+                                     ln_fold=fold, donate_buffers=False)
+            trainer = ShardedIPSTrainer(conf, rng=jax.random.PRNGKey(5))
+            rng = jax.random.PRNGKey(6)
+            batch = trainer.put_batch(
+                {"p": jax.random.normal(rng, (4, 32, conf.n_chan_in)),
+                 "m": jnp.ones((4, 32), bool)}, patch_dim=1)
+            labels = trainer.put_batch(
+                {"metastases": jnp.zeros((4, 1), jnp.float32)})
+            w = trainer.put_batch(jnp.ones((4,), jnp.float32))
+            loss, _, _ = trainer.fused_step(batch["p"], batch["m"], labels,
+                                            w, rng, 1e-3)
+            assert np.isfinite(float(loss))
+            leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+            assert leaf.sharding.is_fully_replicated
+            losses[fold] = float(loss)
+        np.testing.assert_allclose(losses[True], losses[False],
+                                   rtol=1e-4, atol=1e-5)
