@@ -83,11 +83,35 @@ def main():
 
             t_fast = time_op(lambda x, w, m: fast_scores(x, w, m), x, w,
                              mask)
+            # attribution rows: the logits GEMM alone (no softmax
+            # epilogue), the same GEMM as the pallas kernel, and a pure
+            # read-reduction calibrating achievable HBM read bandwidth
+            t_gemm = time_op(
+                lambda x, w: jnp.einsum("bld,dc->blc", x, w,
+                                        preferred_element_type=jnp.float32),
+                x, w)
+            t_read = time_op(
+                lambda x: jnp.sum(x.astype(jnp.float32), axis=(1, 2)), x)
             row = {"case": f"{tag}_{dt_name}", "roofline_ms": roof * 1e3,
-                   "fast_ms": t_fast * 1e3}
+                   "fast_ms": t_fast * 1e3, "gemm_only_ms": t_gemm * 1e3,
+                   "read_only_ms": t_read * 1e3}
             line = (f"{tag:9s} {dt_name}: fast {t_fast * 1e3:7.3f} ms "
                     f"(roofline {roof * 1e3:.3f} ms, "
-                    f"{roof / t_fast:4.0%} of SoL)")
+                    f"{roof / t_fast:4.0%} of SoL) | gemm-only "
+                    f"{t_gemm * 1e3:7.3f} | read-only {t_read * 1e3:7.3f}")
+            try:
+                from ips_tpu.ops.score_kernel import (_pallas_logits,
+                                                      _round_up)
+                n_t = -(-L // 2048)
+                TL = _round_up(-(-L // n_t), 128)
+                wp = jnp.pad(w.astype(x.dtype),
+                             ((0, 0), (0, _round_up(TH, 8) - TH)))
+                t_pg = time_op(functools.partial(_pallas_logits, TL=TL,
+                                                 interpret=False), x, wp)
+                row["pallas_gemm_ms"] = t_pg * 1e3
+                line += f" | pallas-gemm {t_pg * 1e3:7.3f}"
+            except Exception as e:  # noqa: BLE001
+                line += f" | pallas-gemm failed: {type(e).__name__}"
             try:
                 t_pal = time_op(
                     lambda x, w, m: pallas_scores(x, w, m, interpret=False),

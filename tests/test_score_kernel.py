@@ -86,3 +86,42 @@ def test_scores_sum_to_one(setup):
     _, _, x, w_eff = setup
     s = np.asarray(fast_scores(x, w_eff))
     np.testing.assert_allclose(s.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_pallas_trains_through_the_model():
+    """score_impl='pallas' must wire through selection + the fused
+    select+train step (ips_net.py scores() dispatch) and produce the same
+    update as 'fast' — an integration guard for the kernel's call site,
+    not just its standalone numerics."""
+    from ips_tpu.config import config_from_dict
+    from ips_tpu.train.steps import IPSTrainer
+
+    base = dict(
+        n_epoch=1, B=4, B_seq=4, n_epoch_warmup=1, lr=1e-3, wd=0.01,
+        n_class=1, is_image=False, n_chan_in=24, shuffle=False,
+        n_token=1, N=16, M=4, I=4, use_pos=False, H=2, D=16, D_k=8,
+        D_v=8, D_inner=32, compute_dtype="float32", donate_buffers=False,
+        seed=0,
+        tasks={"task0": {"id": 0, "name": "y", "act_fn": "sigmoid",
+                         "metric": "auc"}})
+    conf_f = config_from_dict(dict(base, score_impl="fast"))
+    conf_p = config_from_dict(dict(base, score_impl="pallas"))
+
+    rng = jax.random.PRNGKey(7)
+    feats = jax.random.normal(jax.random.PRNGKey(8), (4, 16, 24))
+    mask = jnp.ones((4, 16), bool)
+    labels = {"y": jnp.asarray([[0.], [1.], [1.], [0.]])}
+    weights = jnp.ones((4,), jnp.float32)
+
+    outs = []
+    for conf in (conf_f, conf_p):
+        tr = IPSTrainer(conf, rng=jax.random.PRNGKey(1))
+        loss, task_losses, _ = tr.fused_step(feats, mask, labels, weights,
+                                             rng, 1e-3)
+        outs.append((np.asarray(loss),
+                     jax.tree_util.tree_leaves(tr.state.params)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5,
+                               atol=1e-6)
+    for a, b in zip(outs[0][1], outs[1][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
