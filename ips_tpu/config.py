@@ -161,6 +161,23 @@ class Config:
                                        # selection encode. Numerics differ
                                        # from the exact path only at bf16
                                        # rounding scale; feature mode only
+    eval_reuse_emb: bool = True        # eval/inference forward reuses the
+                                       # selection buffer's raw embeddings
+                                       # instead of re-encoding the M
+                                       # selected patches: selection already
+                                       # ran the encoder in the SAME eval
+                                       # mode (frozen BN, no dropout), so
+                                       # the re-encode the reference does
+                                       # (architecture/ips_net.py:264-283)
+                                       # recomputes identical values. Skips
+                                       # the (B, M, ...) patch gather AND
+                                       # the whole eval encoder pass (~1/3
+                                       # of eval FLOPs at camelyon scale).
+                                       # Train steps always re-encode (the
+                                       # gradient forward runs train-mode
+                                       # BN/dropout). Auto-disabled for
+                                       # select_dtype=int8, whose buffer
+                                       # embeddings are quantized
     select_unroll: int = 1             # lax.scan unroll factor for the
                                        # selection loop (semantics-identical;
                                        # lets XLA overlap scoring/top-k with

@@ -48,6 +48,22 @@ class Predictor:
 
     def _predict_impl(self, params, batch_stats, patches, mask):
         tr = self.trainer
+        if tr._reuse_eval_emb():
+            # inference = eval mode: the selection buffer's embeddings ARE
+            # what re-encoding the survivors would recompute (steps.py
+            # _reuse_eval_emb) — skip the patch gather + encoder pass
+            _, mem_pos, mem_idx, mem_mask, mem_emb = tr._select_impl(
+                params, batch_stats, patches, mask, jax.random.PRNGKey(0),
+                return_emb=True)
+            variables = {"params": params, "batch_stats": batch_stats}
+            from ips_tpu.models.ips_net import IPSModel
+            attn_mask = mem_mask if self.conf.mask_padding else None
+            emb = mem_emb if mem_pos is None else mem_emb + mem_pos
+            image_emb = tr.model.apply(variables, emb, attn_mask, False,
+                                       method=IPSModel.aggregate)
+            preds = tr.model.apply(variables, image_emb,
+                                   method=IPSModel.predict)
+            return preds, mem_idx
         mem_patch, mem_pos, mem_idx, mem_mask = tr._select_impl(
             params, batch_stats, patches, mask, jax.random.PRNGKey(0))
         attn_mask = mem_mask if self.conf.mask_padding else None

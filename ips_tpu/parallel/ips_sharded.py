@@ -39,8 +39,8 @@ from ips_tpu.train.steps import IPSTrainer
 
 def ips_select_cp(encode_fn, score_fn, patches, *, M: int, I: int,
                   n_shards: int, pos_table=None, mask=None, rng=None,
-                  shuffle: bool = False, shuffle_style: str = "batch"
-                  ) -> SelectionResult:
+                  shuffle: bool = False, shuffle_style: str = "batch",
+                  return_emb: bool = False) -> SelectionResult:
     """Context-parallel IPS: per-shard local top-M, then one global merge.
 
     patches: (B, N, ...) with N divisible by n_shards. Under a mesh, shard
@@ -85,13 +85,14 @@ def ips_select_cp(encode_fn, score_fn, patches, *, M: int, I: int,
 
     # Global merge: one rescoring over the union of survivors.
     emb_to_score = g_emb + pos_table[g_idx] if pos_table is not None else g_emb
-    _, mem_idx, mem_valid = select_top_m(g_emb, emb_to_score, g_idx, g_valid,
-                                         M, score_fn)
+    mem_emb, mem_idx, mem_valid = select_top_m(g_emb, emb_to_score, g_idx,
+                                               g_valid, M, score_fn)
 
     mem_patch = jax.lax.stop_gradient(_gather_patches(patches, mem_idx))
     mem_pos = (jax.lax.stop_gradient(pos_table[mem_idx])
                if pos_table is not None else None)
-    return SelectionResult(mem_patch, mem_pos, mem_idx, mem_valid)
+    return SelectionResult(mem_patch, mem_pos, mem_idx, mem_valid,
+                           mem_emb if return_emb else None)
 
 
 class ShardedIPSTrainer(IPSTrainer):
@@ -239,6 +240,12 @@ class ShardedIPSTrainer(IPSTrainer):
         return NamedSharding(self.mesh, batch_spec(np.ndim(x)))
 
     # -- sharded jit factories for the lazily-built fused paths -------------
+    def _jit_eval_from_emb(self):
+        rep, dat, datp = self._shardings
+        return jax.jit(self._eval_from_emb_impl,
+                       in_shardings=(rep, rep, dat, dat, dat, dat, dat),
+                       **self._out_kw)
+
     def _jit_fused_eval(self):
         rep, dat, datp = self._shardings
         return jax.jit(self._fused_eval_impl,
@@ -406,13 +413,14 @@ class ShardedIPSTrainer(IPSTrainer):
             patches, mask, labels, weights, sel_rngs)
 
     def _select_impl(self, params, batch_stats, patches, mask, rng,
-                     preencode=None):
+                     preencode=None, return_emb=False):
         # `preencode` passes through to the base path; the CP path streams
         # per-shard chunks and never pre-encodes (auto resolves off there)
         conf = self.conf
         if self.n_cp <= 1:
             return super()._select_impl(params, batch_stats, patches, mask,
-                                        rng, preencode=preencode)
+                                        rng, preencode=preencode,
+                                        return_emb=return_emb)
         import jax.numpy as jnp
         if conf.input_dtype == "bfloat16" and patches.dtype != jnp.uint8:
             patches = patches.astype(jnp.bfloat16)
@@ -420,5 +428,9 @@ class ShardedIPSTrainer(IPSTrainer):
         res = ips_select_cp(
             encode, score, patches, M=conf.M, I=conf.I, n_shards=self.n_cp,
             pos_table=self._pos_table_const(), mask=mask, rng=rng,
-            shuffle=conf.shuffle, shuffle_style=conf.shuffle_style)
+            shuffle=conf.shuffle, shuffle_style=conf.shuffle_style,
+            return_emb=return_emb)
+        if return_emb:
+            return (res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask,
+                    res.mem_emb)
         return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask

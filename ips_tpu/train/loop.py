@@ -1074,20 +1074,32 @@ def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):
             continue
 
         if not conf.eager:
-            mem_patch, mem_pos, _, mem_mask = trainer.select_streaming(
-                batch["input"], batch.get("mask"), rng)
+            # streaming eval reuses the buffer embeddings (the scan carry,
+            # already on device): no host patch gather, no re-upload, no
+            # re-encode — exact, selection ran the same eval-mode encoder
+            # (steps.IPSTrainer._reuse_eval_emb)
+            reuse = trainer._reuse_eval_emb()
+            sel = trainer.select_streaming(
+                batch["input"], batch.get("mask"), rng, return_emb=reuse)
+            if reuse:
+                _, mem_pos, _, mem_mask, mem_payload = sel
+            else:
+                mem_payload, mem_pos, _, mem_mask = sel
         else:
+            reuse = False
             B_seq, N = batch["input"].shape[:2]
             patches, mask = _put_select(trainer, batch["input"],
                                         _batch_mask(batch, B_seq, N))
-            mem_patch, mem_pos, _, mem_mask = trainer.select(patches, mask,
-                                                             rng)
-        assembler.add(mem_patch, mem_pos, mem_mask, labels, row_weights)
+            mem_payload, mem_pos, _, mem_mask = trainer.select(patches, mask,
+                                                               rng)
+        assembler.add(mem_payload, mem_pos, mem_mask, labels, row_weights)
 
         if assembler.full or is_last:
             patch, pos, mmask, lab, weights = _put_train(
                 trainer, *assembler.take())
-            loss, task_losses, preds = trainer.eval_step(
+            step_fn = (trainer.eval_from_emb_step if reuse
+                       else trainer.eval_step)
+            loss, task_losses, preds = step_fn(
                 patch, pos, mmask, lab, weights)
             tl, pr = _to_host(task_losses, preds)
             logger.update(tl, pr, {k: np.asarray(v) for k, v in lab.items()},

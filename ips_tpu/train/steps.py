@@ -214,12 +214,17 @@ class IPSTrainer:
         return table_bytes > 96 * 2**20
 
     def _select_impl(self, params, batch_stats, patches, mask, rng,
-                     preencode=None):
+                     preencode=None, return_emb=False):
         """preencode=None resolves conf.preencode_select against this
         input's shape; vmapped callers (the assembled path) pass the
         resolution computed on the TOTAL stacked shape — inside the vmap
         the per-slice table looks VMEM-sized while the real resident
-        tensor is r x bigger."""
+        tensor is r x bigger.
+
+        return_emb=True additionally returns the buffer's raw (B, M, D)
+        embeddings as a 5th output — eval/inference reuse them instead of
+        re-encoding (conf.eval_reuse_emb); any unused outputs (e.g. the
+        mem_patch gather on that path) are DCE'd by XLA."""
         conf = self.conf
         if conf.input_dtype == "bfloat16" and patches.dtype != jnp.uint8:
             # one up-front cast: halves HBM traffic of every chunk gather
@@ -239,7 +244,11 @@ class IPSTrainer:
             # (feature mode) has no spatial blow-up and keeps the faster
             # single dispatch
             preencode_chunked=conf.is_image,
-            unroll=conf.select_unroll)
+            unroll=conf.select_unroll,
+            return_emb=return_emb)
+        if return_emb:
+            return (res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask,
+                    res.mem_emb)
         return res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask
 
     def select(self, patches, mask=None, rng=None):
@@ -265,15 +274,19 @@ class IPSTrainer:
         return self._densify(jnp.asarray(flat_idx), jnp.asarray(values),
                              img_hw=tuple(img_hw))
 
-    def select_streaming(self, patches, mask=None, rng=None):
+    def select_streaming(self, patches, mask=None, rng=None,
+                         return_emb=False):
         """Lazy-mode IPS: patches stay in host RAM, chunks stream to HBM
-        (reference `eager: false`, ips_net.py:223)."""
+        (reference `eager: false`, ips_net.py:223). return_emb=True adds
+        the buffer's (B, M, D) embeddings as a 5th output (None on the
+        M >= N shortcut, which never encodes)."""
         import numpy as np
 
         from ips_tpu.train.streaming import StreamingSelector
         if self._streaming is None:
             self._streaming = StreamingSelector(self)
-        return self._streaming.select(np.asarray(patches), mask, rng)
+        return self._streaming.select(np.asarray(patches), mask, rng,
+                                      return_emb=return_emb)
 
     # -- gradient step ------------------------------------------------------
     def _loss_and_aux(self, params, batch_stats, mem_patch, mem_pos, mem_mask,
@@ -330,8 +343,52 @@ class IPSTrainer:
         return self._eval(self.state.params, self.state.batch_stats,
                           mem_patch, mem_pos, mem_mask, labels, weights)
 
+    def _jit_eval_from_emb(self):
+        """jit factory for the embedding-reuse eval (overridden under a
+        mesh)."""
+        return jax.jit(self._eval_from_emb_impl)
+
+    def eval_from_emb_step(self, mem_emb, mem_pos, mem_mask, labels,
+                           weights):
+        """Eval forward from the selection buffer's embeddings (streaming
+        eval path; see _reuse_eval_emb)."""
+        if not hasattr(self, "_eval_emb"):
+            self._eval_emb = self._jit_eval_from_emb()
+        return self._eval_emb(self.state.params, self.state.batch_stats,
+                              mem_emb, mem_pos, mem_mask, labels, weights)
+
+    def _reuse_eval_emb(self) -> bool:
+        """Eval/inference may consume the selection buffer's embeddings
+        directly: selection runs the encoder in the SAME eval mode (frozen
+        batch statistics, no dropout) the eval forward would, so the
+        reference's re-encode of the M survivors (architecture/
+        ips_net.py:264-283) recomputes identical values there. int8
+        selection keeps the re-encode — its buffer is quantized."""
+        return self.conf.eval_reuse_emb and self.conf.select_dtype != "int8"
+
+    def _eval_from_emb_impl(self, params, batch_stats, mem_emb, mem_pos,
+                            mem_mask, labels, weights):
+        """Eval forward from precomputed eval-mode embeddings: skips the
+        (B, M, ...) patch gather and the whole encoder pass."""
+        conf = self.conf
+        attn_mask = mem_mask if conf.mask_padding else None
+        variables = {"params": params, "batch_stats": batch_stats}
+        emb = mem_emb if mem_pos is None else mem_emb + mem_pos
+        image_emb = self.model.apply(variables, emb, attn_mask, False,
+                                     method=IPSModel.aggregate)
+        preds = self.model.apply(variables, image_emb,
+                                 method=IPSModel.predict)
+        loss, task_losses = compute_task_losses(conf, preds, labels, weights)
+        return loss, task_losses, preds
+
     def _fused_eval_impl(self, params, batch_stats, patches, mask, labels,
                          weights, rng):
+        if self._reuse_eval_emb():
+            _, mem_pos, _, mem_mask, mem_emb = self._select_impl(
+                params, batch_stats, patches, mask, rng, return_emb=True)
+            return self._eval_from_emb_impl(params, batch_stats, mem_emb,
+                                            mem_pos, mem_mask, labels,
+                                            weights)
         mem_patch, mem_pos, _, mem_mask = self._select_impl(
             params, batch_stats, patches, mask, rng)
         return self._eval_impl(params, batch_stats, mem_patch, mem_pos,
@@ -573,14 +630,20 @@ class IPSTrainer:
         pe = self._resolve_preencode(
             jax.ShapeDtypeStruct((patches.shape[0] * patches.shape[1],)
                                  + patches.shape[2:], patches.dtype))
+        reuse = self._reuse_eval_emb()
         sel = jax.vmap(lambda p, m, k: self._select_impl(
-            params, batch_stats, p, m, k, preencode=pe))(patches, mask,
-                                                         sel_rngs)
-        mem_patch, mem_pos, _, mem_mask = sel
+            params, batch_stats, p, m, k, preencode=pe,
+            return_emb=reuse))(patches, mask, sel_rngs)
 
         def flat(x):
             return None if x is None else x.reshape((-1,) + x.shape[2:])
 
+        if reuse:
+            _, mem_pos, _, mem_mask, mem_emb = sel
+            return self._eval_from_emb_impl(
+                params, batch_stats, flat(mem_emb), flat(mem_pos),
+                flat(mem_mask), labels, weights)
+        mem_patch, mem_pos, _, mem_mask = sel
         return self._eval_impl(params, batch_stats, flat(mem_patch),
                                flat(mem_pos), flat(mem_mask), labels,
                                weights)

@@ -73,10 +73,14 @@ class StreamingSelector:
         return x
 
     def select(self, patches: np.ndarray, mask: Optional[np.ndarray] = None,
-               rng: Optional[jax.Array] = None
+               rng: Optional[jax.Array] = None, return_emb: bool = False
                ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array,
                           jax.Array]:
-        """Returns (mem_patch, mem_pos, mem_idx, mem_mask) on device."""
+        """Returns (mem_patch, mem_pos, mem_idx, mem_mask) on device;
+        with return_emb=True appends the buffer's raw (B, M, D) embeddings
+        (already on device — the scan carry), letting eval skip both the
+        host-side patch gather and the re-encode. None on the M >= N
+        shortcut, which never encodes."""
         conf = self.conf
         trainer = self.trainer
         M, I = conf.M, conf.I
@@ -90,11 +94,19 @@ class StreamingSelector:
 
         # Shortcut parity with the scan engine (reference ips_net.py:184-188).
         if M >= N:
-            dev_patch = self._put_out(self._host_cast(np.asarray(patches)))
             idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
             pos = (self._put_out(np.broadcast_to(
                        trainer.pos_table[None, :N], (B, N, conf.D)))
                    if trainer.pos_table is not None else None)
+            if return_emb:
+                # the shortcut never encoded anything: encode all N once —
+                # exactly the dispatch the eval re-encode would have paid
+                emb = self._init(state.params, state.batch_stats,
+                                 self._put(self._host_cast(
+                                     np.asarray(patches))))
+                return (None, pos, idx, self._put_out(mask_np),
+                        self._put_out(emb))
+            dev_patch = self._put_out(self._host_cast(np.asarray(patches)))
             return dev_patch, pos, idx, self._put_out(mask_np)
 
         # Same permutation semantics as the fused engine (tiny, device ok).
@@ -139,6 +151,13 @@ class StreamingSelector:
                 mem_valid, *cur)
 
         mem_idx_np = np.asarray(mem_idx)
+        if return_emb:
+            # eval reuse: the buffer embeddings ARE the carry — no host
+            # patch gather, no (B, M, patch) re-upload, no re-encode
+            mem_pos = (self._put_out(trainer.pos_table[mem_idx_np])
+                       if trainer.pos_table is not None else None)
+            return (None, mem_pos, self._put_out(mem_idx),
+                    self._put_out(mem_valid), self._put_out(mem_emb))
         mem_patch = self._put_out(self._host_cast(patches[rows, mem_idx_np]))
         # gather on the host: ships (B, M, D) instead of the full (N, D) table
         mem_pos = (self._put_out(trainer.pos_table[mem_idx_np])
