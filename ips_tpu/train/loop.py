@@ -96,7 +96,39 @@ class BatchAssembler:
         return patch, pos, mask, labels, weights
 
 
+_FETCH_POOL = None
+
+
+def _fetch(tree):
+    """Device->host copy of a result pytree in ONE latency window.
+
+    On remote-attached TPUs every np.asarray of a device array is a
+    blocking RPC (~40 ms through a tunnel); fetching the step results
+    leaf-by-leaf made metric logging — not compute — dominate epoch wall
+    time (measured: ~0.3 s/step for a 9-leaf result tree). Fetching the
+    leaves concurrently on a small thread pool collapses that to one
+    round trip; values are bit-identical. Local backends are unaffected
+    (np.asarray is microseconds there)."""
+    global _FETCH_POOL
+    leaves, treedef = jax.tree.flatten(tree)
+    n_dev = sum(isinstance(l, jax.Array) for l in leaves)
+    if n_dev > 1:
+        if _FETCH_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+            _FETCH_POOL = ThreadPoolExecutor(max_workers=8,
+                                             thread_name_prefix="ips-fetch")
+        futs = [_FETCH_POOL.submit(np.asarray, l)
+                if isinstance(l, jax.Array) else None for l in leaves]
+        leaves = [f.result() if f is not None else l
+                  for f, l in zip(futs, leaves)]
+    else:
+        leaves = [np.asarray(l) if isinstance(l, jax.Array) else l
+                  for l in leaves]
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def _to_host(task_losses, preds):
+    task_losses, preds = _fetch((task_losses, preds))
     tl = {k: float(v) for k, v in task_losses.items()}
     pr = {k: np.asarray(v) for k, v in preds.items()}
     return tl, pr
@@ -332,6 +364,8 @@ def _flush_assembled_mh(trainer, conf, logger, items, train: bool,
             losses, task_losses, preds = \
                 trainer.fused_assembled_eval_multi_step(
                     stack("p"), stack("m"), lab, stack("w"), stack("sk"))
+        # one round trip for the whole stacked result tree (see _fetch)
+        losses, task_losses, preds = _fetch((losses, task_losses, preds))
         for j, i in enumerate(items):
             log_item(i, losses[j], {k: v[j] for k, v in task_losses.items()},
                      {k: v[j] for k, v in preds.items()})
@@ -506,10 +540,13 @@ def _grouped_epoch(loader, epoch, logger, conf, base_rng, steps_per_epoch,
         homogeneous = (group_key is None
                        or len({group_key(p) for p in group}) == 1)
         if len(group) == K and homogeneous:
-            losses, task_losses, preds = dispatch_multi(group, lrs)
+            # fetch the whole stacked result tree in ONE round trip, then
+            # slice per item on the host (per-item device slices would pay
+            # a ~40 ms RPC per leaf on tunneled backends — see _fetch)
+            losses, task_losses, preds = _fetch(dispatch_multi(group, lrs))
             for j, p in enumerate(group):
-                tl, pr = _to_host({k: v[j] for k, v in task_losses.items()},
-                                  {k: v[j] for k, v in preds.items()})
+                tl = {k: float(v[j]) for k, v in task_losses.items()}
+                pr = {k: v[j] for k, v in preds.items()}
                 log_step(p, lrs[j], losses[j], tl, pr)
         else:
             for j, p in enumerate(group):
@@ -639,6 +676,8 @@ def _train_epoch_assembled(trainer, loader, epoch, logger, conf,
                 jnp.stack([i["sk"] for i in items]),
                 jnp.stack([i["tk"] for i in items]),
                 jnp.asarray([i["lr"] for i in items]))
+            # one round trip for the stacked result tree (see _fetch)
+            losses, task_losses, preds = _fetch((losses, task_losses, preds))
             for j, i in enumerate(items):
                 log_opt_step(i["preps"], i["lr"], losses[j],
                              {k: v[j] for k, v in task_losses.items()},
@@ -977,6 +1016,8 @@ def _eval_assembled(trainer, loader, logger, conf, base_rng):
                      for k in items[0]["lab"]},
                     jnp.stack([i["w"] for i in items]),
                     jnp.stack([i["sk"] for i in items]))
+            # one round trip for the stacked result tree (see _fetch)
+            losses, task_losses, preds = _fetch((losses, task_losses, preds))
             for j, i in enumerate(items):
                 log_group(i["preps"], losses[j],
                           {k: v[j] for k, v in task_losses.items()},
