@@ -83,6 +83,10 @@ class Predictor:
         preds, mem_idx = self._predict(self.trainer.state.params,
                                        self.trainer.state.batch_stats,
                                        patches, m)
+        # one device->host latency window for the whole result tree
+        # (per-leaf fetches are ~40 ms RPCs each on tunneled backends)
+        from ips_tpu.train.loop import _fetch
+        preds, mem_idx = _fetch((preds, mem_idx))
         out = {k: np.asarray(v) for k, v in preds.items()}
         out["selected_idx"] = np.asarray(mem_idx)
         return out
