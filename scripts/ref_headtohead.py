@@ -86,6 +86,8 @@ def _install_stubs():
     tv.transforms = _stub("torchvision.transforms", Compose=_Unused,
                           ToTensor=_Unused, Normalize=_Unused)
     _stub("openslide", OpenSlide=_Unused, ImageSlide=_Unused)
+    pr = _stub("progress")
+    pr.bar = _stub("progress.bar", IncrementalBar=_Unused)
     sk = _stub("skimage")
     sk.draw = _stub("skimage.draw", polygon=_Unused)
     sk.measure = _stub("skimage.measure", label=_Unused)
