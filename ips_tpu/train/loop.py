@@ -134,6 +134,101 @@ def _to_host(task_losses, preds):
     return tl, pr
 
 
+def _stage_slot_impl(stack, x, j):
+    return jax.lax.dynamic_update_slice_in_dim(stack, x[None], j, axis=0)
+
+
+_stage_slot = jax.jit(_stage_slot_impl, donate_argnums=0)
+
+
+class _GroupStager:
+    """Stages dispatch groups into reusable (K, ...) device stacks in
+    place.
+
+    ``jnp.stack`` of K prepared batches briefly holds the K per-item
+    buffers AND the stacked copy — a 2x-group-size HBM transient that is
+    what bounded steps_per_dispatch on 16 GB chips (RESULTS.md camelyon
+    K-sweep). Here each item is written into slot j of a persistent
+    stack buffer as it arrives (donated dynamic_update_slice: true
+    in-place on TPU), and the item's own buffer is dropped immediately,
+    so peak extra memory is one stack + one item. Two rotating buffers
+    per (name, shape, dtype) let group g+1 stage while group g's
+    dispatch is still executing (device streams serialize the donated
+    reuse behind the dispatch that reads it).
+
+    Single-device trainers only — sharded arrays keep the jnp.stack
+    path (a fresh zeros buffer would not carry the mesh sharding).
+    """
+
+    def __init__(self, K: int):
+        self.K = K
+        self.parity = 0
+        self._bufs: dict = {}
+
+    def rotate(self):
+        """Call once per dispatch group boundary."""
+        self.parity ^= 1
+
+    def stage(self, name: str, j: int, x) -> tuple:
+        """Write x into slot j of this parity's stack for `name`;
+        returns an opaque slot handle for later retrieval."""
+        key = (self.parity, name, tuple(x.shape), jnp.result_type(x).name)
+        buf = self._bufs.get(key)
+        if buf is None or buf.shape != (self.K,) + tuple(x.shape):
+            buf = jnp.zeros((self.K,) + tuple(x.shape), x.dtype)
+        self._bufs[key] = _stage_slot(buf, x, j)
+        return (key, j)
+
+    def stack(self, handle) -> jnp.ndarray:
+        """The full (K, ...) stack containing `handle`."""
+        return self._bufs[handle[0]]
+
+    def slot(self, handle) -> jnp.ndarray:
+        """One staged item (fallback/single dispatch path)."""
+        return self._bufs[handle[0]][handle[1]]
+
+
+def _stager_for(trainer, conf) -> Optional["_GroupStager"]:
+    """In-place staging is for single-device trainers; mesh-sharded
+    arrays keep jnp.stack (sharding-preserving)."""
+    if conf.steps_per_dispatch <= 1:
+        return None
+    if getattr(trainer, "mesh", None) is not None:
+        return None
+    return _GroupStager(conf.steps_per_dispatch)
+
+
+class _FetchPipeline:
+    """One-deep dispatch/fetch pipeline for grouped epochs.
+
+    The grouped drivers used to block on the ~40 ms/leaf result fetch
+    (see _fetch) before issuing the next dispatch, so every dispatch
+    paid fetch latency + issue latency serially — the measured ~16 ms
+    per-dispatch wall residual at camelyon scale (RESULTS.md). Here the
+    next group is dispatched BEFORE the previous group's results are
+    pulled, overlapping the host round trip with device compute.
+    Results are consumed strictly FIFO, so logging order — and
+    therefore every metric — is unchanged.
+    """
+
+    def __init__(self, depth: int = 1):
+        self.depth = max(depth, 0)
+        self._q: list = []
+
+    def push(self, payload, consume_fn):
+        self._q.append((payload, consume_fn))
+        while len(self._q) > self.depth:
+            self.pop()
+
+    def pop(self):
+        payload, consume_fn = self._q.pop(0)
+        consume_fn(payload)
+
+    def drain(self):
+        while self._q:
+            self.pop()
+
+
 def _batch_mask(batch: Dict[str, np.ndarray], B: int, N: int):
     """Host-side mask; device placement happens in trainer.put_batch
     (staging through the default device first would double the transfer
@@ -452,11 +547,10 @@ def _train_epoch_grouped(trainer, loader, epoch, logger, conf,
     per K steps."""
     prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
 
-    def dispatch_multi(group, lrs):
+    def dispatch_multi(big, group, lrs):
         puts = [p.payload["put"] for p in group]
         return trainer.fused_multi_step(
-            jnp.stack([p.payload["patches"] for p in group]),
-            jnp.stack([p.payload["mask"] for p in group]),
+            big["patches"], big["mask"],
             {k: jnp.stack([q["labels"][k] for q in puts])
              for k in puts[0]["labels"]},
             jnp.stack([q["w"] for q in puts]),
@@ -471,7 +565,9 @@ def _train_epoch_grouped(trainer, loader, epoch, logger, conf,
     return _grouped_epoch(loader, epoch, logger, conf, base_rng,
                           steps_per_epoch, prep, dispatch_multi,
                           dispatch_single,
-                          group_key=lambda p: p.payload["patches"].shape)
+                          group_key=lambda p: p.payload["patches"].shape,
+                          big_keys=("patches", "mask"),
+                          stager=_stager_for(trainer, conf))
 
 
 def _prep_sparse(trainer, conf, base_rng, it, batch):
@@ -499,13 +595,16 @@ def _prep_sparse(trainer, conf, base_rng, it, batch):
     if jax.process_count() > 1:
         from ips_tpu.parallel.distributed import host_allgather
         labels, row_weights = host_allgather((labels, row_weights))
-    return _Prepped(it, {"put": put, "mask": mask, "hw": hw,
+    # idx/val/mask sit at the payload top level so the grouped drivers
+    # can stage them (big_keys) and drop the per-batch buffers
+    return _Prepped(it, {"idx": put.pop("idx"), "val": put.pop("val"),
+                         "put": put, "mask": mask, "hw": hw,
                          "kind": "sparse"}, labels, row_weights, rng)
 
 
 def _grouped_epoch(loader, epoch, logger, conf, base_rng, steps_per_epoch,
                    prep, dispatch_multi, dispatch_single, group_key=None,
-                   train=True):
+                   train=True, big_keys=(), stager=None):
     """Shared driver for steps_per_dispatch > 1 epochs.
 
     Stacks K prepared batches and dispatches once (`dispatch_multi`); a
@@ -516,9 +615,19 @@ def _grouped_epoch(loader, epoch, logger, conf, base_rng, steps_per_epoch,
     K+1 so the next group's host->HBM transfers stay in flight while the
     current dispatch runs (depth < K would serialize them behind the
     group sync).
+
+    Wall-clock structure: payload entries named in ``big_keys`` are
+    staged into persistent (K, ...) device stacks as items arrive
+    (`_GroupStager` — no 2x jnp.stack transient, single-device
+    trainers), and each group's result fetch is deferred until the NEXT
+    group has been dispatched (`_FetchPipeline`), so the per-dispatch
+    host round trip overlaps device compute. Update sequence, rng/lr
+    schedules, and metric logging order are identical to the serial
+    schedule.
     """
     K = conf.steps_per_dispatch
     last_lr = 0.0
+    pipeline = _FetchPipeline(depth=0 if conf.track_efficiency else 1)
 
     def log_step(p, lr, loss, tl, pr):
         if train:
@@ -526,6 +635,42 @@ def _grouped_epoch(loader, epoch, logger, conf, base_rng, steps_per_epoch,
         logger.update(tl, pr,
                       {k: np.asarray(v) for k, v in p.labels.items()},
                       weights=np.asarray(p.row_weights))
+
+    def stage(p, j):
+        """Move payload big arrays into slot j of the staging stacks."""
+        p.payload["_gkey"] = group_key(p) if group_key is not None else None
+        if stager is None:
+            return
+        staged = {}
+        for name in big_keys:
+            x = p.payload.get(name)
+            if x is not None and isinstance(x, jax.Array):
+                staged[name] = stager.stage(name, j, x)
+                p.payload[name] = None
+        p.payload["_staged"] = staged
+
+    def materialize(p):
+        """Restore staged arrays for a single-step (fallback) dispatch."""
+        for name, handle in p.payload.pop("_staged", {}).items():
+            p.payload[name] = stager.slot(handle)
+
+    def big_stacks(group):
+        if stager is not None and group[0].payload.get("_staged"):
+            return {name: stager.stack(handle)
+                    for name, handle in group[0].payload["_staged"].items()}
+        return {name: jnp.stack([p.payload[name] for p in group])
+                for name in big_keys}
+
+    def consume(entry):
+        group, lrs, res = entry
+        # one round trip for the whole stacked result tree, sliced per
+        # item on the host (per-item device slices would pay a ~40 ms
+        # RPC per leaf on tunneled backends — see _fetch)
+        losses, task_losses, preds = _fetch(res)
+        for j, p in enumerate(group):
+            tl = {k: float(v[j]) for k, v in task_losses.items()}
+            pr = {k: v[j] for k, v in preds.items()}
+            log_step(p, lrs[j], losses[j], tl, pr)
 
     def run_group(group):
         nonlocal last_lr
@@ -537,32 +682,32 @@ def _grouped_epoch(loader, epoch, logger, conf, base_rng, steps_per_epoch,
             last_lr = lrs[-1]
         else:
             lrs = [None] * len(group)
-        homogeneous = (group_key is None
-                       or len({group_key(p) for p in group}) == 1)
+        homogeneous = len({p.payload["_gkey"] for p in group}) == 1
         if len(group) == K and homogeneous:
-            # fetch the whole stacked result tree in ONE round trip, then
-            # slice per item on the host (per-item device slices would pay
-            # a ~40 ms RPC per leaf on tunneled backends — see _fetch)
-            losses, task_losses, preds = _fetch(dispatch_multi(group, lrs))
-            for j, p in enumerate(group):
-                tl = {k: float(v[j]) for k, v in task_losses.items()}
-                pr = {k: v[j] for k, v in preds.items()}
-                log_step(p, lrs[j], losses[j], tl, pr)
+            res = dispatch_multi(big_stacks(group), group, lrs)
+            pipeline.push((group, lrs, res), consume)
         else:
+            pipeline.drain()  # keep metric/print order exact
             for j, p in enumerate(group):
+                if stager is not None:
+                    materialize(p)
                 loss, task_losses, preds = dispatch_single(p, lrs[j])
                 tl, pr = _to_host(task_losses, preds)
                 log_step(p, lrs[j], loss, tl, pr)
+        if stager is not None:
+            stager.rotate()
 
     depth = max(conf.prefetch_depth, K + 1)
     group = []
     for item in _prefetched(enumerate(loader), prep, depth):
+        stage(item, len(group))
         group.append(item)
         if len(group) == K:
             run_group(group)
             group = []
     if group:
         run_group(group)
+    pipeline.drain()
     return last_lr
 
 
@@ -581,13 +726,10 @@ def _train_epoch_sparse_grouped(trainer, loader, epoch, logger, conf,
     train steps per dispatch."""
     prep = lambda ib: _prep_sparse(trainer, conf, base_rng, ib[0], ib[1])
 
-    def dispatch_multi(group, lrs):
+    def dispatch_multi(big, group, lrs):
         puts = [p.payload["put"] for p in group]
         return trainer.fused_sparse_multi_step(
-            jnp.stack([q["idx"] for q in puts]),
-            jnp.stack([q["val"] for q in puts]),
-            group[0].payload["hw"],
-            jnp.stack([p.payload["mask"] for p in group]),
+            big["idx"], big["val"], group[0].payload["hw"], big["mask"],
             {k: jnp.stack([q["labels"][k] for q in puts])
              for k in puts[0]["labels"]},
             jnp.stack([q["w"] for q in puts]),
@@ -604,12 +746,14 @@ def _train_epoch_sparse_grouped(trainer, loader, epoch, logger, conf,
                 mem_patch, mem_pos, mem_mask, q["put"]["labels"],
                 q["put"]["w"], jax.random.fold_in(p.rng, 1), lr)
         return trainer.fused_sparse_step(
-            q["put"]["idx"], q["put"]["val"], q["hw"], q["mask"],
+            q["idx"], q["val"], q["hw"], q["mask"],
             q["put"]["labels"], q["put"]["w"], p.rng, lr)
 
     return _grouped_epoch(loader, epoch, logger, conf, base_rng,
                           steps_per_epoch, prep, dispatch_multi,
-                          dispatch_single, group_key=_sparse_group_key)
+                          dispatch_single, group_key=_sparse_group_key,
+                          big_keys=("idx", "val", "mask"),
+                          stager=_stager_for(trainer, conf))
 
 
 def _train_epoch_assembled(trainer, loader, epoch, logger, conf,
@@ -632,6 +776,8 @@ def _train_epoch_assembled(trainer, loader, epoch, logger, conf,
     K = conf.steps_per_dispatch
     last_lr = 0.0
     prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
+    stager = _stager_for(trainer, conf)
+    pipeline = _FetchPipeline(depth=1)
 
     def log_opt_step(preps, lr, loss, task_losses, preds):
         _maybe_log_step(conf, epoch * steps_per_epoch + preps[-1].it, loss,
@@ -642,13 +788,15 @@ def _train_epoch_assembled(trainer, loader, epoch, logger, conf,
         weights = np.concatenate([p.row_weights for p in preps])
         logger.update(tl, pr, labels, weights=weights)
 
-    def opt_item(preps):
-        """One optimizer-step payload from r homogeneous preps."""
+    def opt_item(preps, slot):
+        """One optimizer-step payload from r homogeneous preps; its big
+        (r, B_seq, ...) arrays go straight into dispatch-stack slot
+        `slot` (no 2x jnp.stack transient at flush — see _GroupStager)."""
         puts = [p.payload["put"] for p in preps]
         lr = warmup_cosine_lr(epoch * steps_per_epoch + preps[-1].it + 1,
                               steps_per_epoch, conf.n_epoch,
                               conf.n_epoch_warmup, conf.lr)
-        return {
+        item = {
             "p": jnp.stack([p.payload["patches"] for p in preps]),
             "m": jnp.stack([p.payload["mask"] for p in preps]),
             "lab": {k: jnp.concatenate([q["labels"][k] for q in puts])
@@ -656,44 +804,68 @@ def _train_epoch_assembled(trainer, loader, epoch, logger, conf,
             "w": jnp.concatenate([q["w"] for q in puts]),
             "sk": jnp.stack([p.rng for p in preps]),
             "tk": jax.random.fold_in(preps[-1].rng, 1),
-            "lr": lr, "preps": preps,
+            "lr": lr, "preps": preps, "shape": None,
         }
+        for p in preps:
+            p.payload["patches"] = p.payload["mask"] = None
+        item["shape"] = item["p"].shape
+        if stager is not None:
+            item["hp"] = stager.stage("p", slot, item["p"])
+            item["hm"] = stager.stage("m", slot, item["m"])
+            item["p"] = item["m"] = None
+        return item
+
+    def consume(entry):
+        items, res = entry
+        # one round trip for the stacked result tree (see _fetch)
+        losses, task_losses, preds = _fetch(res)
+        for j, i in enumerate(items):
+            log_opt_step(i["preps"], i["lr"], losses[j],
+                         {k: v[j] for k, v in task_losses.items()},
+                         {k: v[j] for k, v in preds.items()})
 
     def flush_items(items):
         """Dispatch pending optimizer steps: one K-stacked dispatch when a
-        full homogeneous group, else one dispatch each."""
+        full homogeneous group (its result fetch deferred until the next
+        dispatch is in flight — _FetchPipeline), else one dispatch each."""
         nonlocal last_lr
         if not items:
             return
-        shapes = {i["p"].shape for i in items}
+        shapes = {i["shape"] for i in items}
         if len(items) == K and K > 1 and len(shapes) == 1:
-            losses, task_losses, preds = trainer.fused_assembled_multi_step(
-                jnp.stack([i["p"] for i in items]),
-                jnp.stack([i["m"] for i in items]),
+            if stager is not None:
+                big_p, big_m = (stager.stack(items[0]["hp"]),
+                                stager.stack(items[0]["hm"]))
+            else:
+                big_p = jnp.stack([i["p"] for i in items])
+                big_m = jnp.stack([i["m"] for i in items])
+            res = trainer.fused_assembled_multi_step(
+                big_p, big_m,
                 {k: jnp.stack([i["lab"][k] for i in items])
                  for k in items[0]["lab"]},
                 jnp.stack([i["w"] for i in items]),
                 jnp.stack([i["sk"] for i in items]),
                 jnp.stack([i["tk"] for i in items]),
                 jnp.asarray([i["lr"] for i in items]))
-            # one round trip for the stacked result tree (see _fetch)
-            losses, task_losses, preds = _fetch((losses, task_losses, preds))
-            for j, i in enumerate(items):
-                log_opt_step(i["preps"], i["lr"], losses[j],
-                             {k: v[j] for k, v in task_losses.items()},
-                             {k: v[j] for k, v in preds.items()})
+            pipeline.push((items, res), consume)
         else:
+            pipeline.drain()  # keep metric/print order exact
             for i in items:
+                if stager is not None and "hp" in i:
+                    i["p"], i["m"] = stager.slot(i["hp"]), stager.slot(i["hm"])
                 loss, task_losses, preds = trainer.fused_assembled_step(
                     i["p"], i["m"], i["lab"], i["w"], i["sk"], i["tk"],
                     i["lr"])
                 log_opt_step(i["preps"], i["lr"], loss, task_losses, preds)
+        if stager is not None:
+            stager.rotate()
         last_lr = items[-1]["lr"]
 
     def legacy_steps(preps):
         """Per-batch select + assembler + train (exact legacy semantics)
         for heterogeneous r-groups and the epoch-end partial batch."""
         nonlocal last_lr
+        pipeline.drain()
         assembler = BatchAssembler(conf)
         for p in preps:
             mem_patch, mem_pos, _, mem_mask = trainer.select(
@@ -721,7 +893,7 @@ def _train_epoch_assembled(trainer, loader, epoch, logger, conf,
         if len(group) < r:
             continue
         if len({q.payload["patches"].shape for q in group}) == 1:
-            pending.append(opt_item(group))
+            pending.append(opt_item(group, len(pending)))
             if len(pending) == K:
                 flush_items(pending)
                 pending = []
@@ -734,6 +906,7 @@ def _train_epoch_assembled(trainer, loader, epoch, logger, conf,
     flush_items(pending)
     if group:                      # epoch-end partial optimizer batch
         legacy_steps(group)
+    pipeline.drain()
     return last_lr
 
 
@@ -741,6 +914,18 @@ def _train_epoch_pipelined(trainer, loader, epoch, logger, conf, tracker,
                            base_rng, steps_per_epoch):
     last_lr = 0.0
     prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
+    # defer each step's result fetch until the next step is dispatched, so
+    # the ~40 ms host round trip overlaps device compute (_FetchPipeline);
+    # track_efficiency keeps the serial schedule for exact per-step timing
+    pipeline = _FetchPipeline(depth=0 if conf.track_efficiency else 1)
+
+    def consume(entry):
+        p, data_it, is_last, lr, res = entry
+        loss, task_losses, preds = res
+        _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
+                        lr, loss, task_losses, preds, p.labels,
+                        p.row_weights)
+
     for p in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
         data_it = epoch * steps_per_epoch + p.it
         is_last = p.it == steps_per_epoch - 1
@@ -748,13 +933,12 @@ def _train_epoch_pipelined(trainer, loader, epoch, logger, conf, tracker,
         last_lr = warmup_cosine_lr(data_it + 1, steps_per_epoch,
                                    conf.n_epoch, conf.n_epoch_warmup,
                                    conf.lr)
-        loss, task_losses, preds = trainer.fused_step(
+        res = trainer.fused_step(
             p.payload["patches"], p.payload["mask"],
             p.payload["put"]["labels"], p.payload["put"]["w"], p.rng,
             last_lr)
-        _log_train_step(conf, tracker, logger, epoch, data_it, is_last,
-                        last_lr, loss, task_losses, preds, p.labels,
-                        p.row_weights)
+        pipeline.push((p, data_it, is_last, last_lr, res), consume)
+    pipeline.drain()
     tracker.finish_epoch(epoch)
     return last_lr
 
@@ -896,25 +1080,28 @@ def _eval_pipelined(trainer, loader, logger, conf, base_rng):
                       {k: np.asarray(v) for k, v in p.labels.items()},
                       weights=p.row_weights)
 
-    def eval_single(p):
-        loss, task_losses, preds = trainer.fused_eval_step(
-            p.payload["patches"], p.payload["mask"],
-            p.payload["put"]["labels"], p.payload["put"]["w"], p.rng)
+    def consume_single(entry):
+        p, res = entry
+        _, task_losses, preds = res
         tl, pr = _to_host(task_losses, preds)
         log_one(p, tl, pr)
 
     if K <= 1:
+        pipeline = _FetchPipeline(depth=1)
         for p in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
-            eval_single(p)
+            res = trainer.fused_eval_step(
+                p.payload["patches"], p.payload["mask"],
+                p.payload["put"]["labels"], p.payload["put"]["w"], p.rng)
+            pipeline.push((p, res), consume_single)
+        pipeline.drain()
         return
 
     # steps_per_dispatch > 1: K eval batches per dispatch through the
     # shared grouped driver (mixed-shape groups / short tails -> singles)
-    def dispatch_multi(group, lrs):
+    def dispatch_multi(big, group, lrs):
         puts = [p.payload["put"] for p in group]
         return trainer.fused_eval_multi_step(
-            jnp.stack([p.payload["patches"] for p in group]),
-            jnp.stack([p.payload["mask"] for p in group]),
+            big["patches"], big["mask"],
             {k: jnp.stack([q["labels"][k] for q in puts])
              for k in puts[0]["labels"]},
             jnp.stack([q["w"] for q in puts]),
@@ -928,7 +1115,8 @@ def _eval_pipelined(trainer, loader, logger, conf, base_rng):
     _grouped_epoch(loader, 0, logger, conf, base_rng, len(loader),
                    prep, dispatch_multi, dispatch_single,
                    group_key=lambda p: p.payload["patches"].shape,
-                   train=False)
+                   train=False, big_keys=("patches", "mask"),
+                   stager=_stager_for(trainer, conf))
 
 
 def _eval_sparse_pipelined(trainer, loader, logger, conf, base_rng):
@@ -945,25 +1133,28 @@ def _eval_sparse_pipelined(trainer, loader, logger, conf, base_rng):
                                            q["put"]["labels"], q["put"]["w"],
                                            p.rng)
         return trainer.fused_sparse_eval_step(
-            q["put"]["idx"], q["put"]["val"], q["hw"], q["mask"],
+            q["idx"], q["val"], q["hw"], q["mask"],
             q["put"]["labels"], q["put"]["w"], p.rng)
 
     if conf.steps_per_dispatch <= 1:
-        for p in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
-            loss, task_losses, preds = dispatch_single(p, None)
+        pipeline = _FetchPipeline(depth=1)
+
+        def consume_single(entry):
+            p, (_, task_losses, preds) = entry
             tl, pr = _to_host(task_losses, preds)
             logger.update(tl, pr,
                           {k: np.asarray(v) for k, v in p.labels.items()},
                           weights=p.row_weights)
+
+        for p in _prefetched(enumerate(loader), prep, conf.prefetch_depth):
+            pipeline.push((p, dispatch_single(p, None)), consume_single)
+        pipeline.drain()
         return
 
-    def dispatch_multi(group, lrs):
+    def dispatch_multi(big, group, lrs):
         puts = [p.payload["put"] for p in group]
         return trainer.fused_sparse_eval_multi_step(
-            jnp.stack([q["idx"] for q in puts]),
-            jnp.stack([q["val"] for q in puts]),
-            group[0].payload["hw"],
-            jnp.stack([p.payload["mask"] for p in group]),
+            big["idx"], big["val"], group[0].payload["hw"], big["mask"],
             {k: jnp.stack([q["labels"][k] for q in puts])
              for k in puts[0]["labels"]},
             jnp.stack([q["w"] for q in puts]),
@@ -971,7 +1162,9 @@ def _eval_sparse_pipelined(trainer, loader, logger, conf, base_rng):
 
     _grouped_epoch(loader, 0, logger, conf, base_rng, len(loader),
                    prep, dispatch_multi, dispatch_single,
-                   group_key=_sparse_group_key, train=False)
+                   group_key=_sparse_group_key, train=False,
+                   big_keys=("idx", "val", "mask"),
+                   stager=_stager_for(trainer, conf))
 
 
 def _eval_assembled(trainer, loader, logger, conf, base_rng):
@@ -983,6 +1176,8 @@ def _eval_assembled(trainer, loader, logger, conf, base_rng):
     r = conf.B // conf.B_seq
     K = conf.steps_per_dispatch
     prep = lambda ib: _prep_fused(trainer, conf, base_rng, ib[0], ib[1])
+    stager = _stager_for(trainer, conf)
+    pipeline = _FetchPipeline(depth=1)
 
     def log_group(preps, loss, task_losses, preds):
         tl, pr = _to_host(task_losses, preds)
@@ -991,9 +1186,9 @@ def _eval_assembled(trainer, loader, logger, conf, base_rng):
         weights = np.concatenate([p.row_weights for p in preps])
         logger.update(tl, pr, labels, weights=weights)
 
-    def eval_item(preps):
+    def eval_item(preps, slot):
         puts = [p.payload["put"] for p in preps]
-        return {
+        item = {
             "p": jnp.stack([p.payload["patches"] for p in preps]),
             "m": jnp.stack([p.payload["mask"] for p in preps]),
             "lab": {k: jnp.concatenate([q["labels"][k] for q in puts])
@@ -1002,33 +1197,55 @@ def _eval_assembled(trainer, loader, logger, conf, base_rng):
             "sk": jnp.stack([p.rng for p in preps]),
             "preps": preps,
         }
+        for p in preps:
+            p.payload["patches"] = p.payload["mask"] = None
+        item["shape"] = item["p"].shape
+        if stager is not None:
+            item["hp"] = stager.stage("p", slot, item["p"])
+            item["hm"] = stager.stage("m", slot, item["m"])
+            item["p"] = item["m"] = None
+        return item
+
+    def consume(entry):
+        items, res = entry
+        # one round trip for the stacked result tree (see _fetch)
+        losses, task_losses, preds = _fetch(res)
+        for j, i in enumerate(items):
+            log_group(i["preps"], losses[j],
+                      {k: v[j] for k, v in task_losses.items()},
+                      {k: v[j] for k, v in preds.items()})
 
     def flush_items(items):
         if not items:
             return
-        shapes = {i["p"].shape for i in items}
+        shapes = {i["shape"] for i in items}
         if len(items) == K and K > 1 and len(shapes) == 1:
-            losses, task_losses, preds = \
-                trainer.fused_assembled_eval_multi_step(
-                    jnp.stack([i["p"] for i in items]),
-                    jnp.stack([i["m"] for i in items]),
-                    {k: jnp.stack([i["lab"][k] for i in items])
-                     for k in items[0]["lab"]},
-                    jnp.stack([i["w"] for i in items]),
-                    jnp.stack([i["sk"] for i in items]))
-            # one round trip for the stacked result tree (see _fetch)
-            losses, task_losses, preds = _fetch((losses, task_losses, preds))
-            for j, i in enumerate(items):
-                log_group(i["preps"], losses[j],
-                          {k: v[j] for k, v in task_losses.items()},
-                          {k: v[j] for k, v in preds.items()})
+            if stager is not None:
+                big_p, big_m = (stager.stack(items[0]["hp"]),
+                                stager.stack(items[0]["hm"]))
+            else:
+                big_p = jnp.stack([i["p"] for i in items])
+                big_m = jnp.stack([i["m"] for i in items])
+            res = trainer.fused_assembled_eval_multi_step(
+                big_p, big_m,
+                {k: jnp.stack([i["lab"][k] for i in items])
+                 for k in items[0]["lab"]},
+                jnp.stack([i["w"] for i in items]),
+                jnp.stack([i["sk"] for i in items]))
+            pipeline.push((items, res), consume)
         else:
+            pipeline.drain()  # keep metric order exact
             for i in items:
+                if stager is not None and "hp" in i:
+                    i["p"], i["m"] = stager.slot(i["hp"]), stager.slot(i["hm"])
                 loss, task_losses, preds = trainer.fused_assembled_eval_step(
                     i["p"], i["m"], i["lab"], i["w"], i["sk"])
                 log_group(i["preps"], loss, task_losses, preds)
+        if stager is not None:
+            stager.rotate()
 
     def legacy_eval(preps):
+        pipeline.drain()
         assembler = BatchAssembler(conf)
         for p in preps:
             mem_patch, mem_pos, _, mem_mask = trainer.select(
@@ -1050,7 +1267,7 @@ def _eval_assembled(trainer, loader, logger, conf, base_rng):
         if len(group) < r:
             continue
         if len({q.payload["patches"].shape for q in group}) == 1:
-            pending.append(eval_item(group))
+            pending.append(eval_item(group, len(pending)))
             if len(pending) == K:
                 flush_items(pending)
                 pending = []
@@ -1062,6 +1279,7 @@ def _eval_assembled(trainer, loader, logger, conf, base_rng):
     flush_items(pending)
     if group:
         legacy_eval(group)
+    pipeline.drain()
 
 
 def evaluate(trainer: IPSTrainer, loader, logger, conf: Config):

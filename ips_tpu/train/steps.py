@@ -98,11 +98,17 @@ class IPSTrainer:
         if conf.is_image and conf.pretrained and conf.pretrained_path:
             # ImageNet-style initialization (reference ips_net.py:20-27)
             # from a locally converted checkpoint (no network egress here).
+            # The stem kernel is deliberately re-initialized when the input
+            # is not 3-channel — the reference swaps conv1 AFTER loading
+            # ImageNet weights (reference ips_net.py:29-31); every other
+            # mismatch or uncovered encoder variable fails loudly.
             from ips_tpu.models.pretrained import load_encoder_npz
+            stem_skip = (("params/conv1/kernel",)
+                         if conf.n_chan_in != 3 else ())
             merged = load_encoder_npz(
                 conf.pretrained_path,
                 {"params": params, "batch_stats": batch_stats},
-                prefix="encoder/", on_mismatch="skip")
+                prefix="encoder/", skip_keys=stem_skip, expect_cover=True)
             params, batch_stats = merged["params"], merged["batch_stats"]
         # AdamW with torch parity: betas (0.9, 0.999), eps 1e-8, weight decay
         # applied to every parameter (reference main.py:57).

@@ -5,40 +5,29 @@ import pytest
 
 from ips_tpu.models.encoders import ConvPatchEncoder
 from ips_tpu.models.pretrained import (load_encoder_npz, save_npz,
-                                       torch_resnet_to_flat)
+                                       torch_resnet_to_flat,
+                                       torchvision_manifest,
+                                       verify_torchvision_state_dict)
+
+
+def _fake_resnet_state(rng, enc_type="resnet18"):
+    """Random FULL-schema torchvision-named state dict (numpy tensors):
+    every key a real downloaded checkpoint has, with its exact shape —
+    built from the manifest, so conversion exercises the same coverage a
+    genuine ``ResNet18_Weights.IMAGENET1K_V1`` file would."""
+    sd = {}
+    for key, shape in torchvision_manifest(enc_type).items():
+        if key.endswith("num_batches_tracked"):
+            sd[key] = np.array(100, dtype=np.int64)
+        elif key.endswith("running_var"):
+            sd[key] = np.abs(rng.normal(1, 0.1, shape)).astype(np.float32)
+        else:
+            sd[key] = rng.normal(0, 0.1, shape).astype(np.float32)
+    return sd
 
 
 def _fake_resnet18_state(rng):
-    """Random torchvision-named resnet18 state dict (numpy tensors)."""
-    sd = {}
-
-    def conv(name, cout, cin, k):
-        sd[name + ".weight"] = rng.normal(0, 0.1, (cout, cin, k, k)).astype(
-            np.float32)
-
-    def bn(name, c):
-        sd[name + ".weight"] = rng.normal(1, 0.1, c).astype(np.float32)
-        sd[name + ".bias"] = rng.normal(0, 0.1, c).astype(np.float32)
-        sd[name + ".running_mean"] = rng.normal(0, 0.1, c).astype(np.float32)
-        sd[name + ".running_var"] = np.abs(
-            rng.normal(1, 0.1, c)).astype(np.float32)
-
-    conv("conv1", 64, 3, 7)
-    bn("bn1", 64)
-    widths = [64, 128, 256, 512]
-    for stage in range(4):
-        w = widths[stage]
-        w_in = 64 if stage == 0 else widths[stage - 1]
-        for b in range(2):
-            p = f"layer{stage + 1}.{b}"
-            conv(p + ".conv1", w, w_in if b == 0 else w, 3)
-            bn(p + ".bn1", w)
-            conv(p + ".conv2", w, w, 3)
-            bn(p + ".bn2", w)
-            if b == 0 and stage > 0:
-                conv(p + ".downsample.0", w, w_in, 1)
-                bn(p + ".downsample.1", w)
-    return sd
+    return _fake_resnet_state(rng, "resnet18")
 
 
 def test_convert_and_load(tmp_path):
@@ -103,6 +92,110 @@ def test_no_matching_keys_raises(tmp_path):
                        jnp.zeros((1, 32, 32, 3)), train=False)
     with pytest.raises(ValueError, match="no keys"):
         load_encoder_npz(npz, variables)
+
+
+class TestSchema:
+    """Full torchvision key+shape manifest validation (VERDICT r3 #6)."""
+
+    @pytest.mark.parametrize("enc_type", ["resnet18", "resnet50"])
+    def test_full_schema_passes(self, enc_type):
+        sd = _fake_resnet_state(np.random.default_rng(0), enc_type)
+        verify_torchvision_state_dict(sd, enc_type)  # no raise
+        flat = torch_resnet_to_flat(sd, enc_type, verify="full")
+        assert "params/conv1/kernel" in flat
+        # resnet50 layer1 has a stride-1 downsample (64 -> 256)
+        if enc_type == "resnet50":
+            assert "params/layer1_block0/downsample_conv/kernel" in flat
+
+    def test_manifest_counts(self):
+        # torchvision resnet18 has 122 entries, resnet50 has 320
+        assert len(torchvision_manifest("resnet18")) == 122
+        assert len(torchvision_manifest("resnet50")) == 320
+
+    def test_missing_key_fails_full(self):
+        sd = _fake_resnet_state(np.random.default_rng(0))
+        del sd["layer2.1.conv2.weight"]
+        with pytest.raises(ValueError, match="missing.*layer2.1.conv2"):
+            torch_resnet_to_flat(sd, "resnet18", verify="full")
+        # truncated mode tolerates missing keys
+        torch_resnet_to_flat(sd, "resnet18", verify="truncated")
+
+    def test_unexpected_key_fails(self):
+        sd = _fake_resnet_state(np.random.default_rng(0))
+        sd["module.backbone.junk"] = np.zeros((3,), np.float32)
+        with pytest.raises(ValueError, match="unexpected"):
+            torch_resnet_to_flat(sd, "resnet18", verify="truncated")
+
+    def test_wrong_shape_fails(self):
+        sd = _fake_resnet_state(np.random.default_rng(0))
+        sd["layer1.0.conv1.weight"] = np.zeros((64, 64, 5, 5), np.float32)
+        with pytest.raises(ValueError, match="shape mismatches"):
+            torch_resnet_to_flat(sd, "resnet18", verify="truncated")
+
+
+class TestCoverage:
+    """expect_cover / skip_keys loading semantics."""
+
+    def _encoder_vars(self, n_chan_in=3, n_res_blocks=2):
+        import jax
+        import jax.numpy as jnp
+        m = ConvPatchEncoder(enc_type="resnet18", n_chan_in=n_chan_in,
+                             n_res_blocks=n_res_blocks)
+        return m, m.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, n_chan_in)), train=False)
+
+    def test_partial_npz_fails_cover(self, tmp_path):
+        sd = _fake_resnet_state(np.random.default_rng(0))
+        # drop one block entirely: the converter skips it, the load must
+        # then refuse to train from half-random init
+        for k in list(sd):
+            if k.startswith("layer2.1."):
+                del sd[k]
+        npz = str(tmp_path / "w.npz")
+        save_npz(npz, torch_resnet_to_flat(sd, "resnet18",
+                                           verify="truncated"))
+        _, variables = self._encoder_vars()
+        with pytest.raises(ValueError, match="not covered"):
+            load_encoder_npz(npz, variables, expect_cover=True)
+        # without the coverage requirement it still loads what matched
+        load_encoder_npz(npz, variables)
+
+    def test_stem_skip_with_cover(self, tmp_path):
+        """1-channel stem: the one legitimate reinit (reference
+        ips_net.py:29-31) is an explicit skip, everything else must
+        load — the exact semantics IPSTrainer uses."""
+        sd = _fake_resnet_state(np.random.default_rng(0))
+        npz = str(tmp_path / "w.npz")
+        save_npz(npz, torch_resnet_to_flat(sd, "resnet18", verify="full"))
+        _, variables = self._encoder_vars(n_chan_in=1)
+        loaded = load_encoder_npz(npz, variables,
+                                  skip_keys=("params/conv1/kernel",),
+                                  expect_cover=True)
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["conv1"]["kernel"]),
+            np.asarray(variables["params"]["conv1"]["kernel"]))
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["layer1_block0"]["conv1"]["kernel"]),
+            sd["layer1.0.conv1.weight"].transpose(2, 3, 1, 0), rtol=1e-6)
+        # bn1 (kept by the reference's stem swap) DID load
+        np.testing.assert_allclose(
+            np.asarray(loaded["batch_stats"]["bn1"]["mean"]),
+            sd["bn1.running_mean"], rtol=1e-6)
+
+    def test_full_depth_encoder_covered(self, tmp_path):
+        """n_res_blocks=4 (reference ips_net.py:44-48): a full checkpoint
+        covers the whole truncated-at-layer4 encoder."""
+        sd = _fake_resnet_state(np.random.default_rng(1))
+        npz = str(tmp_path / "w.npz")
+        save_npz(npz, torch_resnet_to_flat(sd, "resnet18", verify="full"))
+        import jax.numpy as jnp
+        m, variables = self._encoder_vars(n_res_blocks=4)
+        loaded = load_encoder_npz(npz, variables, expect_cover=True)
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["layer4_block1"]["conv2"]["kernel"]),
+            sd["layer4.1.conv2.weight"].transpose(2, 3, 1, 0), rtol=1e-6)
+        out = m.apply(loaded, jnp.zeros((2, 32, 32, 3)), train=False)
+        assert out.shape == (2, 512) and np.isfinite(np.asarray(out)).all()
 
 
 def test_mismatch_skip_keeps_init(tmp_path):

@@ -30,10 +30,9 @@ def _torch_state_dict(rng):
 @pytest.fixture(scope="module")
 def converted(tmp_path_factory):
     d = tmp_path_factory.mktemp("torch_ckpt")
+    # full torchvision schema (incl. fc head + num_batches_tracked
+    # counters) so the CLI's default --schema full validation runs
     sd = _torch_state_dict(np.random.default_rng(0))
-    # fc head like a full torchvision checkpoint (ignored by the encoder)
-    sd["fc.weight"] = torch.zeros(1000, 512)
-    sd["fc.bias"] = torch.zeros(1000)
     pth = str(d / "resnet18.pth")
     torch.save(sd, pth)
     npz = str(d / "weights.npz")
