@@ -184,7 +184,11 @@ class Config:
                                        # the next chunk's convs)
     score_impl: str = "fast"           # 'attn' (reference-shaped), 'fast'
                                        # (query-folded single GEMM), 'pallas'
-                                       # (fused kernel); all numerically equal
+                                       # (fused kernel); all numerically equal.
+                                       # 'pallas' is FROZEN experimental: XLA
+                                       # parity fp32 / +3% bf16 at camelyon
+                                       # scale and the scorer is <5% of a
+                                       # step (RESULTS.md scorer verdict)
     use_pallas: bool = False           # back-compat alias for score_impl='pallas'
     mesh_data: int = 1                 # data-parallel mesh axis size
     mesh_patch: int = 1                # context/patch-parallel mesh axis size

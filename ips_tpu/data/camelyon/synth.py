@@ -57,8 +57,17 @@ def _tissue_slide(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
     return img
 
 
-def _add_lesion(img: np.ndarray, rng: np.random.Generator):
-    """Dense dark-nuclei speckle region; returns its polygon (x, y)."""
+def _add_lesion(img: np.ndarray, rng: np.random.Generator,
+                contrast: float = 1.0):
+    """Dense dark-nuclei speckle region; returns its polygon (x, y).
+
+    ``contrast`` scales how visually distinct the lesion texture is
+    (1.0 = the original, trivially separable look). Values around
+    0.1-0.3 give a WEAK-signal corpus where test AUC plateaus below
+    1.0 — the same trick the feature-mode head-to-head used
+    (make_synth_features signal=0.55, RESULTS.md) so learning-curve
+    comparisons measure generalization rather than saturation.
+    """
     H, W = img.shape[:2]
     cy = rng.uniform(0.35, 0.65) * H
     cx = rng.uniform(0.35, 0.65) * W
@@ -66,10 +75,15 @@ def _add_lesion(img: np.ndarray, rng: np.random.Generator):
     ys = np.arange(H, dtype=np.float32)[:, None]
     xs = np.arange(W, dtype=np.float32)[None, :]
     lesion = (ys - cy) ** 2 + (xs - cx) ** 2 <= r * r
-    # darker base + heavy nuclei speckle (the learnable texture)
-    img[lesion] = img[lesion] * 0.6 + np.array([90, 40, 110], np.float32) * .4
-    nuclei = (rng.random((H, W)) < 0.25) & lesion
-    img[nuclei] = (60, 20, 80)
+    # darker base + nuclei speckle (the learnable texture); both the
+    # base blend and the speckle density/opacity scale with `contrast`
+    a = 0.4 * contrast
+    img[lesion] = (img[lesion] * (1 - a)
+                   + np.array([90, 40, 110], np.float32) * a)
+    nuclei = (rng.random((H, W)) < 0.25 * contrast) & lesion
+    cn = min(1.0, 0.25 + 0.75 * contrast)
+    img[nuclei] = (img[nuclei] * (1 - cn)
+                   + np.array([60, 20, 80], np.float32) * cn)
     poly = [(cx + r * np.cos(t), cy + r * np.sin(t))
             for t in np.linspace(0, 2 * np.pi, 12, endpoint=False)]
     return poly
@@ -86,7 +100,7 @@ def _write_xml(fpath: str, poly) -> None:
 def generate_synth_camelyon(out_dir: str, n_normal: int = 8,
                             n_tumor: int = 8, n_test: int = 8,
                             height: int = 768, width: int = 768,
-                            seed: int = 0) -> None:
+                            seed: int = 0, contrast: float = 1.0) -> None:
     from PIL import Image
     rng = np.random.default_rng(seed)
     dirs = {
@@ -107,7 +121,7 @@ def generate_synth_camelyon(out_dir: str, n_normal: int = 8,
              path.join(dirs["normal"], f"normal_{i:03d}.png"))
     for i in range(n_tumor):
         img = _tissue_slide(rng, height, width)
-        poly = _add_lesion(img, rng)
+        poly = _add_lesion(img, rng, contrast)
         name = f"tumor_{i:03d}"
         save(img, path.join(dirs["tumor"], f"{name}.png"))
         _write_xml(path.join(dirs["train_ann"], f"{name}.xml"), poly)
@@ -115,7 +129,7 @@ def generate_synth_camelyon(out_dir: str, n_normal: int = 8,
         img = _tissue_slide(rng, height, width)
         name = f"test_{i:03d}"
         if i % 2 == 1:            # odd test slides carry tumor
-            poly = _add_lesion(img, rng)
+            poly = _add_lesion(img, rng, contrast)
             _write_xml(path.join(dirs["test_ann"], f"{name}.xml"), poly)
         save(img, path.join(dirs["test"], f"{name}.png"))
 
@@ -129,10 +143,13 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--width", type=int, default=768)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--contrast", type=float, default=1.0,
+                   help="lesion texture strength; ~0.1-0.3 gives a "
+                        "weak-signal corpus (AUC plateaus < 1.0)")
     p.add_argument("output_directory")
     a = p.parse_args(argv)
     generate_synth_camelyon(a.output_directory, a.n_normal, a.n_tumor,
-                            a.n_test, a.height, a.width, a.seed)
+                            a.n_test, a.height, a.width, a.seed, a.contrast)
     print(f"wrote synthetic CAMELYON16 corpus to {a.output_directory}")
 
 

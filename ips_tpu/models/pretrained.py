@@ -153,10 +153,23 @@ def torch_resnet_to_flat(state_dict, enc_type: str = "resnet18",
             src = f"layer{stage + 1}.{b}"
             dst = f"layer{stage + 1}_block{b}"
             if src + ".conv1.weight" not in state_dict:
-                continue  # allow truncated checkpoints
-            for c in range(1, n_convs + 1):
-                put_conv(f"{src}.conv{c}", f"{dst}/conv{c}")
-                put_bn(f"{src}.bn{c}", f"{dst}/bn{c}")
+                # truncated checkpoint: the WHOLE block must be absent —
+                # a half-present block converting silently would train
+                # from half-random init
+                leftover = [k for k in state_dict if k.startswith(src + ".")]
+                if leftover:
+                    raise ValueError(
+                        f"block {src} is partially present (e.g. "
+                        f"{leftover[0]}) — refusing a half-converted block")
+                continue
+            try:
+                for c in range(1, n_convs + 1):
+                    put_conv(f"{src}.conv{c}", f"{dst}/conv{c}")
+                    put_bn(f"{src}.bn{c}", f"{dst}/bn{c}")
+            except KeyError as e:
+                raise ValueError(
+                    f"block {src} is partially present (missing {e}) — "
+                    "refusing a half-converted block") from e
             if src + ".downsample.0.weight" in state_dict:
                 put_conv(f"{src}.downsample.0", f"{dst}/downsample_conv")
                 put_bn(f"{src}.downsample.1", f"{dst}/downsample_bn")

@@ -117,8 +117,19 @@ class TestSchema:
         del sd["layer2.1.conv2.weight"]
         with pytest.raises(ValueError, match="missing.*layer2.1.conv2"):
             torch_resnet_to_flat(sd, "resnet18", verify="full")
-        # truncated mode tolerates missing keys
-        torch_resnet_to_flat(sd, "resnet18", verify="truncated")
+        # a PARTIALLY present block is refused even in truncated mode
+        with pytest.raises(ValueError, match="partially present"):
+            torch_resnet_to_flat(sd, "resnet18", verify="truncated")
+        # truncated mode tolerates WHOLLY absent trailing stages
+        for k in list(sd):
+            if k.startswith(("layer3.", "layer4.", "fc.")):
+                del sd[k]
+        for k in list(sd):
+            if k.startswith("layer2.1."):
+                del sd[k]
+        flat = torch_resnet_to_flat(sd, "resnet18", verify="truncated")
+        assert "params/layer2_block0/conv1/kernel" in flat
+        assert not any(k.startswith("params/layer3") for k in flat)
 
     def test_unexpected_key_fails(self):
         sd = _fake_resnet_state(np.random.default_rng(0))
