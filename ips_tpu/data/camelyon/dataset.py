@@ -104,11 +104,15 @@ class CamelyonFeatures(Dataset):
 
 def make_synth_features(path: str, n_slides: int = 8, feat_dim: int = 32,
                         n_range=(40, 200), seed: int = 0,
-                        signal: float = 2.0) -> str:
+                        signal: float = 2.0,
+                        compression: str | None = "gzip") -> str:
     """Write a small synthetic features HDF5 in the reference layout.
 
     Tumor slides get a handful of high-magnitude 'lesion' feature rows, so
     the IPS + AUC path is end-to-end learnable without the 700 GB corpus.
+    ``compression=None`` writes uncompressed datasets — gzip of random
+    floats runs ~20 MB/s on one core, which makes reference-scale proof
+    corpora (N~10k, 2048-dim) impractically slow to generate.
     """
     import h5py
     rng = np.random.default_rng(seed)
@@ -124,7 +128,8 @@ def make_synth_features(path: str, n_slides: int = 8, feat_dim: int = 32,
                 feats[rows, : feat_dim // 2] += signal
             grp = f.create_group(f"slide_{'test_' if i >= n_slides//2 else ''}"
                                  f"{i:03d}")
-            grp.create_dataset("img", data=feats, compression="gzip")
-            grp.create_dataset("pos", data=np.arange(n), compression="gzip")
+            grp.create_dataset("img", data=feats, compression=compression)
+            grp.create_dataset("pos", data=np.arange(n),
+                               compression=compression)
             grp.attrs["label"] = label
     return path
