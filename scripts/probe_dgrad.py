@@ -165,7 +165,7 @@ def time_probe():
     enable_compilation_cache()
     import bench
 
-    def timed(jitted, *args, n_warmup=2, n_iter=3):
+    def timed(jitted, *args, n_warmup=2, n_iter=5):
         return bench._time_steps(lambda: jitted(*args), n_warmup, n_iter)
 
     def time_op(fn, *args):
@@ -193,10 +193,14 @@ def time_probe():
             scale = (1.0 + i * 1e-3).astype(x0.dtype)
             return x0[None] * scale[(...,) + (None,) * x0.ndim]
 
+        # K=64 vs 16: the 48-iteration slope (several ms of device work)
+        # has to clear this backend's ~1 ms tunnel-timing jitter; the
+        # first attempt's 16-vs-4 slope (12 iters of a ~0.1 ms op) did
+        # not and produced 0-clamped cells.
         jitted = jax.jit(many)
-        t16 = timed(jitted, stack(16), *args[1:])
-        t4 = timed(jitted, stack(4), *args[1:])
-        return max(t16 - t4, 1e-9) / 12
+        t_hi = timed(jitted, stack(64), *args[1:])
+        t_lo = timed(jitted, stack(16), *args[1:])
+        return max(t_hi - t_lo, 1e-9) / 48
 
     print(f"probing on {jax.devices()[0]}", file=sys.stderr, flush=True)
     rows = {}
