@@ -50,7 +50,10 @@ if "--small" not in sys.argv:
 else:
     B, N, M, I, D_FEAT = 4, 40, 20, 20, 32
 POOL = 4
-STEPS_PER_EPOCH = 16
+# 48 steps -> 6 groups even at K=8: the last-group fetch + first-group
+# fill edges amortize; 16 steps left K=8 with only 2 groups and its
+# driver number dominated by edges.
+STEPS_PER_EPOCH = 48
 
 
 def make_conf(K, **over):

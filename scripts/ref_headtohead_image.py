@@ -202,7 +202,7 @@ def _install_stubs():
     sk.measure = _stub("skimage.measure", label=_Unused)
 
 
-def run_reference():
+def run_reference(seed=None):
     import numpy as np
     import torch
     import yaml
@@ -219,7 +219,14 @@ def run_reference():
     with open("/root/reference/config/mnist_config.yml") as f:
         c = yaml.load(f, Loader=yaml.FullLoader)
     c.update(OVERRIDES)
+    if seed is not None:
+        # Seed-variance control: same corpus, different torch init/
+        # shuffle stream, separate output file — quantifies how much of
+        # any torch-vs-ips test gap is plain seed noise.
+        c["seed"] = seed
     conf = Struct(**c)
+    out_path = ("results/ref_h2h_image_torch.jsonl" if seed is None
+                else f"results/ref_h2h_image_torch_seed{seed}.jsonl")
 
     device = torch.device("cpu")
     torch.manual_seed(conf.seed)
@@ -241,7 +248,7 @@ def run_reference():
     log_train, log_test = Logger(conf.tasks), Logger(conf.tasks)
 
     os.makedirs("results", exist_ok=True)
-    out = open("results/ref_h2h_image_torch.jsonl", "w")
+    out = open(out_path, "w")
     tasks = [(t["name"], t["metric"]) for t in conf.tasks.values()]
     for epoch in range(conf.n_epoch):
         t0 = time.perf_counter()
@@ -265,7 +272,7 @@ def run_reference():
         out.flush()
         sys.stdout.flush()
     out.close()
-    print("wrote results/ref_h2h_image_torch.jsonl")
+    print(f"wrote {out_path}")
 
 
 def run_ours():
@@ -298,11 +305,13 @@ def main():
     p.add_argument("--generate", action="store_true")
     p.add_argument("--run-reference", action="store_true")
     p.add_argument("--run-ours", action="store_true")
+    p.add_argument("--seed", type=int, default=None,
+                   help="torch-side seed override (seed-variance control)")
     a = p.parse_args()
     if a.generate:
         generate()
     if a.run_reference:
-        run_reference()
+        run_reference(seed=a.seed)
     if a.run_ours:
         run_ours()
     if not (a.generate or a.run_reference or a.run_ours):
