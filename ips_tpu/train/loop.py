@@ -151,10 +151,16 @@ class _GroupStager:
     K-sweep). Here each item is written into slot j of a persistent
     stack buffer as it arrives (donated dynamic_update_slice: true
     in-place on TPU), and the item's own buffer is dropped immediately,
-    so peak extra memory is one stack + one item. Two rotating buffers
-    per (name, shape, dtype) let group g+1 stage while group g's
-    dispatch is still executing (device streams serialize the donated
-    reuse behind the dispatch that reads it).
+    so peak extra memory is one stack + one item.
+
+    ONE buffer per (name, shape, dtype), not two: the TPU executes
+    enqueued programs in launch order on a single compute stream, so
+    group g+1's first donated slot-write simply runs after the dispatch
+    that reads the stack — the host never blocks and no overlap is
+    lost. A second rotating buffer doubled resident stack HBM (10.5 GB
+    at camelyon K=8) and measurably slowed the epoch
+    (results/wall_residual_probe.json K=8 driver 1.27x dispatch;
+    RESULTS.md "Dispatch-group driver residual").
 
     Single-device trainers only — sharded arrays keep the jnp.stack
     path (a fresh zeros buffer would not carry the mesh sharding).
@@ -162,17 +168,16 @@ class _GroupStager:
 
     def __init__(self, K: int):
         self.K = K
-        self.parity = 0
         self._bufs: dict = {}
 
     def rotate(self):
-        """Call once per dispatch group boundary."""
-        self.parity ^= 1
+        """Dispatch-group boundary hook (no-op with single buffering;
+        kept so drivers mark boundaries in one place)."""
 
     def stage(self, name: str, j: int, x) -> tuple:
-        """Write x into slot j of this parity's stack for `name`;
-        returns an opaque slot handle for later retrieval."""
-        key = (self.parity, name, tuple(x.shape), jnp.result_type(x).name)
+        """Write x into slot j of the stack for `name`; returns an
+        opaque slot handle for later retrieval."""
+        key = (name, tuple(x.shape), jnp.result_type(x).name)
         buf = self._bufs.get(key)
         if buf is None or buf.shape != (self.K,) + tuple(x.shape):
             buf = jnp.zeros((self.K,) + tuple(x.shape), x.dtype)
