@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import jax
 import numpy as np
@@ -169,8 +170,10 @@ def run(conf: Config, dataset: str):
         profiling = conf.profile_dir and epoch == start_epoch
         if profiling:
             jax.profiler.start_trace(conf.profile_dir)
+        t_epoch = time.perf_counter()
         lr = train_one_epoch(trainer, train_loader, epoch, log_train, conf,
                              tracker)
+        t_epoch = time.perf_counter() - t_epoch
         if profiling:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {conf.profile_dir}",
@@ -180,9 +183,11 @@ def run(conf: Config, dataset: str):
             # every process accumulates the same GLOBAL metrics under
             # multi-host; only one needs to report them
             log_train.print_stats(epoch, train=True, lr=lr)
+            print(f"epoch wall: {t_epoch:.2f}s", flush=True)
             if conf.metrics_path:
                 log_train.write_jsonl(conf.metrics_path, epoch, "train",
-                                      lr=lr)
+                                      lr=lr,
+                                      train_seconds=round(t_epoch, 2))
 
         evaluate(trainer, test_loader, log_test, conf)
         log_test.compute_metric()
