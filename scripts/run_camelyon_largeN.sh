@@ -1,9 +1,9 @@
 #!/bin/bash
 # VERDICT round-3 item 4: non-saturating camelyon image-mode training at
 # large N on chip. Weak-signal synthetic WSI corpus (contrast < 1 so test
-# AUC plateaus below 1.0), slides large enough that every slide pads to a
-# 12,544-tile bucket (3584x3584 px, 32x32 tiles) — an order of magnitude
-# past the round-2 e2e run (N<=144) and past the N=10k probe scale, run
+# AUC plateaus below 1.0), slides large enough that foreground tile
+# counts exceed 10k (4608x4608 px, 32x32 tiles = a 20,736-tile grid) —
+# two orders of magnitude past the round-2 e2e run (N<=144), run
 # through the streaming O(M+I) selector (eager=false; memory evidence:
 # results/stream_memory_probe.json + RESULTS.md "Compiled-HLO evidence").
 #
@@ -18,7 +18,7 @@ case "$1" in
 gen)
   python -m ips_tpu.data.camelyon.synth "$DIR" \
     --n_normal 8 --n_tumor 8 --n_test 8 \
-    --height 3584 --width 3584 --contrast "$CONTRAST" --seed 0
+    --height 4608 --width 4608 --contrast "$CONTRAST" --seed 0
   python -m ips_tpu.data.camelyon.otsu --lvl 0 --n_worker 1 \
     "$DIR" otsu.csv
   python -m ips_tpu.data.camelyon.foreground --train --lvl 0 \
@@ -30,7 +30,7 @@ train)
   python -m ips_tpu.main --dataset camelyon_e2e \
     data_dir="$DIR" n_epoch=30 n_epoch_warmup=3 B=4 B_seq=4 \
     M=256 I=256 patch_size='[32,32]' patch_stride='[32,32]' \
-    'bucket_sizes=[12544]' eager=false n_worker=2 \
+    'bucket_sizes=[12800]' eager=false n_worker=2 \
     metrics_path=results/camelyon_largeN_metrics.jsonl \
     2>&1 | tee results/camelyon_largeN_train.log
   ;;
