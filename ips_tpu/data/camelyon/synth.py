@@ -100,9 +100,25 @@ def _write_xml(fpath: str, poly) -> None:
 def generate_synth_camelyon(out_dir: str, n_normal: int = 8,
                             n_tumor: int = 8, n_test: int = 8,
                             height: int = 768, width: int = 768,
-                            seed: int = 0, contrast: float = 1.0) -> None:
+                            seed: int = 0, contrast: float = 1.0,
+                            contrast_min: float = None) -> None:
+    """Write a CAMELYON16-layout synthetic corpus.
+
+    ``contrast_min``: when set, each tumor slide draws its own contrast
+    ~ U(contrast_min, contrast) instead of the fixed value. With
+    contrast_min near 0 some slides are unrankable BY CONSTRUCTION
+    (their lesion is below the slide noise floor), so test AUC plateaus
+    strictly below 1.0 no matter how well the model trains — the
+    image-mode analog of the feature head-to-head's weak-signal corpus
+    (make_synth_features signal=0.55, RESULTS.md).
+    """
     from PIL import Image
     rng = np.random.default_rng(seed)
+
+    def draw_contrast() -> float:
+        if contrast_min is None:
+            return contrast
+        return float(rng.uniform(contrast_min, contrast))
     dirs = {
         "normal": path.join(out_dir, "training/normal"),
         "tumor": path.join(out_dir, "training/tumor"),
@@ -121,7 +137,7 @@ def generate_synth_camelyon(out_dir: str, n_normal: int = 8,
              path.join(dirs["normal"], f"normal_{i:03d}.png"))
     for i in range(n_tumor):
         img = _tissue_slide(rng, height, width)
-        poly = _add_lesion(img, rng, contrast)
+        poly = _add_lesion(img, rng, draw_contrast())
         name = f"tumor_{i:03d}"
         save(img, path.join(dirs["tumor"], f"{name}.png"))
         _write_xml(path.join(dirs["train_ann"], f"{name}.xml"), poly)
@@ -129,7 +145,7 @@ def generate_synth_camelyon(out_dir: str, n_normal: int = 8,
         img = _tissue_slide(rng, height, width)
         name = f"test_{i:03d}"
         if i % 2 == 1:            # odd test slides carry tumor
-            poly = _add_lesion(img, rng, contrast)
+            poly = _add_lesion(img, rng, draw_contrast())
             _write_xml(path.join(dirs["test_ann"], f"{name}.xml"), poly)
         save(img, path.join(dirs["test"], f"{name}.png"))
 
@@ -146,10 +162,16 @@ def main(argv=None):
     p.add_argument("--contrast", type=float, default=1.0,
                    help="lesion texture strength; ~0.1-0.3 gives a "
                         "weak-signal corpus (AUC plateaus < 1.0)")
+    p.add_argument("--contrast_min", type=float, default=None,
+                   help="when set, each tumor slide draws contrast ~ "
+                        "U(contrast_min, contrast); near-0 draws make "
+                        "some slides unrankable so AUC caps below 1.0 "
+                        "by construction")
     p.add_argument("output_directory")
     a = p.parse_args(argv)
     generate_synth_camelyon(a.output_directory, a.n_normal, a.n_tumor,
-                            a.n_test, a.height, a.width, a.seed, a.contrast)
+                            a.n_test, a.height, a.width, a.seed, a.contrast,
+                            a.contrast_min)
     print(f"wrote synthetic CAMELYON16 corpus to {a.output_directory}")
 
 

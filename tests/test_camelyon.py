@@ -351,6 +351,35 @@ class TestSynthCorpus:
         poly = np.array(tumor.annotations[0].polygon)
         assert (poly >= 0).all() and (poly < 256).all()
 
+    def test_contrast_jitter(self, tmp_path):
+        """contrast_min draws per-slide contrast ~ U(min, max): labels
+        and layout stay intact, and tumor slides genuinely differ in
+        lesion strength (the weak-signal knob for sub-1.0 AUC
+        plateaus — scripts/run_camelyon_largeN.sh genweak)."""
+        from PIL import Image
+        from ips_tpu.data.camelyon.synth import generate_synth_camelyon
+        d = str(tmp_path / "cam_weak")
+        generate_synth_camelyon(d, n_normal=1, n_tumor=6, n_test=2,
+                                height=256, width=256, seed=0,
+                                contrast=0.35, contrast_min=0.0)
+        man = SlideManager(data_dir=d, otsu_fname="missing.csv")
+        strengths = []
+        for i in range(6):
+            s = man.get_slide(f"tumor_{i:03d}")
+            assert s.has_tumor and len(s.annotations) == 1
+            img = np.asarray(Image.open(
+                f"{d}/training/tumor/tumor_{i:03d}.png"), dtype=np.float32)
+            poly = np.array(s.annotations[0].polygon)
+            cx, cy = poly[:, 0].mean(), poly[:, 1].mean()
+            r = int(np.linalg.norm(poly[0] - [cx, cy]) * 0.5)
+            y0, y1 = int(cy) - r, int(cy) + r
+            x0, x1 = int(cx) - r, int(cx) + r
+            inside = img[max(y0, 0):y1, max(x0, 0):x1].mean()
+            strengths.append(inside)
+        # with fixed contrast the in-lesion means cluster tightly; the
+        # jitter must spread them (U(0, .35) spans faint to strong)
+        assert np.ptp(strengths) > 5.0, strengths
+
 
 class TestEndToEndImageMode:
     """CamelyonPatches: raw uint8 tiles through selection + training."""
