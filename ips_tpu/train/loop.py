@@ -153,31 +153,35 @@ class _GroupStager:
     in-place on TPU), and the item's own buffer is dropped immediately,
     so peak extra memory is one stack + one item.
 
-    ONE buffer per (name, shape, dtype), not two: the TPU executes
-    enqueued programs in launch order on a single compute stream, so
-    group g+1's first donated slot-write simply runs after the dispatch
-    that reads the stack — the host never blocks and no overlap is
-    lost. A second rotating buffer doubled resident stack HBM (10.5 GB
-    at camelyon K=8) and measurably slowed the epoch
-    (results/wall_residual_probe.json K=8 driver 1.27x dispatch;
-    RESULTS.md "Dispatch-group driver residual").
+    TWO rotating buffers per (name, shape, dtype) (parity flips at each
+    dispatch-group boundary): donating a stack whose previous dispatch
+    may still hold it cannot alias in place, so single-buffer staging
+    loses the pipeline — measured same-day A/B at camelyon feature
+    scale: driver/dispatch 2.31x (single) vs ~1.0x (rotating) at K=4
+    (results/wall_residual_probe.json; RESULTS.md "single-buffer
+    follow-up"). The rotation's cost is a second resident stack
+    (group-size HBM: ~5.2 GB at camelyon K=8), which is what bounds
+    steps_per_dispatch on 16 GB chips.
 
     Single-device trainers only — sharded arrays keep the jnp.stack
     path (a fresh zeros buffer would not carry the mesh sharding).
     """
 
-    def __init__(self, K: int):
+    def __init__(self, K: int, rotating: bool = True):
         self.K = K
+        self.parity = 0
+        self.rotating = rotating
         self._bufs: dict = {}
 
     def rotate(self):
-        """Dispatch-group boundary hook (no-op with single buffering;
-        kept so drivers mark boundaries in one place)."""
+        """Call once per dispatch-group boundary."""
+        if self.rotating:
+            self.parity ^= 1
 
     def stage(self, name: str, j: int, x) -> tuple:
-        """Write x into slot j of the stack for `name`; returns an
-        opaque slot handle for later retrieval."""
-        key = (name, tuple(x.shape), jnp.result_type(x).name)
+        """Write x into slot j of this parity's stack for `name`;
+        returns an opaque slot handle for later retrieval."""
+        key = (name, tuple(x.shape), jnp.result_type(x).name, self.parity)
         buf = self._bufs.get(key)
         if buf is None or buf.shape != (self.K,) + tuple(x.shape):
             buf = jnp.zeros((self.K,) + tuple(x.shape), x.dtype)
