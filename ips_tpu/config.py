@@ -149,6 +149,33 @@ class Config:
                                        # bf16) one batch is ~69 MB, so
                                        # K=32 holds ~4-6 GB; halve K if a
                                        # dense-image config OOMs
+    stream_chunk_group: int = 4        # streaming (lazy) selection: chunks
+                                       # per device dispatch. The host
+                                       # stacks G consecutive I-chunks into
+                                       # one (G, B, I, ...) stage and the
+                                       # device lax.scans the selection
+                                       # step over them — one dispatch +
+                                       # one device_put per G chunks
+                                       # instead of per chunk. Params are
+                                       # constant within a selection, so
+                                       # unlike steps_per_dispatch on the
+                                       # train path this is staleness-free
+                                       # and exact (identical update
+                                       # sequence); leftover chunks
+                                       # (len % G) run the per-chunk
+                                       # engine. HBM cost: one staged
+                                       # group holds G chunks instead of
+                                       # 1-2. Ignored when eager=true.
+                                       # Default 4 = measured best
+                                       # host-fed: 1.60x per selection at
+                                       # the large-N image shape (B=4,
+                                       # N=4352, I=256 uint8 tiles);
+                                       # G=8/16 pipeline transfers more
+                                       # coarsely and win less. With
+                                       # device-resident inputs grouping
+                                       # is neutral (async dispatch
+                                       # already hides issue cost) —
+                                       # results/stream_group_probe.json
     ln_fold: bool = False              # feature-projector LayerNorm->GEMM
                                        # fold: the LN row-affine commutes
                                        # through the linear layer, so the
@@ -278,6 +305,8 @@ class Config:
                 "knob")
         if self.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
+        if self.stream_chunk_group < 1:
+            raise ValueError("stream_chunk_group must be >= 1")
         if self.use_pos and self.N <= 0:
             raise ValueError(
                 "use_pos needs a fixed patch count (N > 0): the positional "

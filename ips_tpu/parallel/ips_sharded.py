@@ -209,27 +209,38 @@ class ShardedIPSTrainer(IPSTrainer):
             return put_replicated_global(self.mesh, tree)
         return jax.device_put(tree, self._shardings[0])
 
-    def _stream_sharding(self, x):
-        """Streamed tensors: batch dim over `data`; under context
-        parallelism (mesh_patch > 1) a divisible dim 1 — the chunk's patch
-        axis — additionally shards over `patch`, so every device encodes
-        I/n_cp patches of each streamed chunk and XLA all-gathers only the
-        (B, I, D) embeddings for scoring (SURVEY §5 long-context: the
-        patch-axis upgrade now reaches the lazy path too)."""
-        import numpy as np
-
+    def _stream_spec(self, shape):
+        """PartitionSpec for a streamed (B, I, ...) chunk of this shape:
+        batch dim over `data`; under context parallelism (mesh_patch > 1)
+        a divisible dim 1 — the chunk's patch axis — additionally shards
+        over `patch`, so every device encodes I/n_cp patches of each
+        streamed chunk and XLA all-gathers only the (B, I, D) embeddings
+        for scoring (SURVEY §5 long-context: the patch-axis upgrade now
+        reaches the lazy path too)."""
         from ips_tpu.parallel.mesh import batch_spec
-        ndim = np.ndim(x)
+        ndim = len(shape)
         patch_dim = None
-        if (self.n_cp > 1 and ndim >= 2
-                and np.shape(x)[1] % self.n_cp == 0):
+        if self.n_cp > 1 and ndim >= 2 and shape[1] % self.n_cp == 0:
             patch_dim = 1
         spec = batch_spec(ndim, patch_dim)
-        if np.shape(x)[0] % self.mesh.shape[DATA_AXIS]:
+        if shape[0] % self.mesh.shape[DATA_AXIS]:
             # B_seq rows don't divide the data axis (e.g. the reference's
             # B_seq=1 camelyon shape): replicate rows, shard patches only
             spec = P(None, *spec[1:])
-        return NamedSharding(self.mesh, spec)
+        return spec
+
+    def _stream_sharding(self, x):
+        """Streamed chunk tensors — see `_stream_spec`."""
+        import numpy as np
+        return NamedSharding(self.mesh, self._stream_spec(np.shape(x)))
+
+    def _stream_group_sharding(self, x):
+        """Stacked (G, B, I, ...) chunk groups: the leading scan axis is
+        replicated (every device scans all G chunks); the inner dims
+        shard exactly like a single streamed chunk."""
+        import numpy as np
+        inner = self._stream_spec(np.shape(x)[1:])
+        return NamedSharding(self.mesh, P(None, *inner))
 
     def _stream_out_sharding(self, x):
         """Streamed-selection outputs feed the train/eval jits, whose

@@ -157,6 +157,12 @@ class IPSTrainer:
         """Sharding for streamed selection chunks (None = default device)."""
         return None
 
+    def _stream_group_sharding(self, x):
+        """Sharding for a stacked (G, B, I, ...) chunk group (None =
+        default device); the mesh trainer replicates the scan axis and
+        shards the inner dims like a single chunk."""
+        return None
+
     def _stream_out_sharding(self, x):
         """Sharding for the streamed selection's OUTPUTS — the (B, M, ...)
         memory batch the train/eval steps consume (data axis only under a

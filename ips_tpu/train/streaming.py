@@ -44,6 +44,34 @@ class StreamingSelector:
         self._init = jax.jit(init_fn)
         self._step = jax.jit(step_fn)
 
+        # Chunk grouping (conf.stream_chunk_group = G): the host stacks G
+        # consecutive chunks into one (G, B, I, ...) stage and the device
+        # scans the selection step over them — one dispatch + one
+        # device_put per G chunks. Exact: params are constant within a
+        # selection, and the scan body IS step_fn, applied in the same
+        # chunk order. Leftover chunks (len(starts) % G) run the
+        # per-chunk engine above, so no padded chunks are ever encoded.
+        self._group = max(int(self.conf.stream_chunk_group), 1)
+
+        def group_fn(params, batch_stats, mem_emb, mem_idx, mem_valid,
+                     chunks, chunk_idx, chunk_valid):
+            encode, score = trainer._enc_score_fns(params, batch_stats)
+            pos = trainer._pos_table_const()
+
+            def body(carry, xs):
+                me, mi, mv = carry
+                c, ci, cv = xs
+                return ips_select_streaming_step(
+                    encode, score, me, mi, mv, c, ci, cv, self.conf.M,
+                    pos_table=pos), None
+
+            carry, _ = jax.lax.scan(
+                body, (mem_emb, mem_idx, mem_valid),
+                (chunks, chunk_idx, chunk_valid))
+            return carry
+
+        self._gstep = jax.jit(group_fn) if self._group > 1 else None
+
     def _put(self, x):
         """device_put honoring the trainer's mesh: batch dim over `data`,
         and (under context parallelism) the chunk's patch dim over
@@ -51,6 +79,13 @@ class StreamingSelector:
         — XLA all-gathers only the (B, I, D) chunk embeddings for the
         scoring/top-M, never raw patches. Selection numerics identical."""
         s = self.trainer._stream_sharding(x)
+        return jax.device_put(x, s) if s is not None else jax.device_put(x)
+
+    def _put_group(self, x):
+        """device_put for a stacked (G, B, I, ...) chunk group: the scan
+        axis is replicated; the inner (B, I, ...) dims shard exactly as a
+        single streamed chunk would (`_stream_sharding` semantics)."""
+        s = self.trainer._stream_group_sharding(x)
         return jax.device_put(x, s) if s is not None else jax.device_put(x)
 
     def _put_out(self, x):
@@ -136,15 +171,49 @@ class StreamingSelector:
         mem_valid = self._put(init_valid)
 
         starts = list(range(M, N, I))
-        # double buffer: next chunk's transfer starts before we block
+
+        # Chunk grouping: full G-sized runs of chunks go through one
+        # scanned dispatch each; the remainder falls through to the
+        # per-chunk engine below (same chunk order, so results are
+        # identical to G=1 — regression-tested in tests/test_streaming.py).
+        G = self._group
+        if G > 1:
+            n_full = (len(starts) // G) * G
+            group_starts = [starts[i:i + G] for i in range(0, n_full, G)]
+            rest = starts[n_full:]
+        else:
+            group_starts, rest = [], starts
+
+        def host_group(gs):
+            cs = [host_chunk(s, I) for s in gs]
+            return (np.stack([c[0] for c in cs]),
+                    np.stack([c[1] for c in cs]),
+                    np.stack([c[2] for c in cs]))
+
+        # double buffer: next group's transfer starts before we block
         next_dev = None
-        if starts:
-            c, ci, cv = host_chunk(starts[0], I)
-            next_dev = (self._put(c), self._put(ci), self._put(cv))
-        for k, start in enumerate(starts):
+        if group_starts:
+            next_dev = tuple(self._put_group(x)
+                             for x in host_group(group_starts[0]))
+        for k in range(len(group_starts)):
             cur = next_dev
-            if k + 1 < len(starts):
-                c, ci, cv = host_chunk(starts[k + 1], I)
+            if k + 1 < len(group_starts):
+                next_dev = tuple(self._put_group(x)
+                                 for x in host_group(group_starts[k + 1]))
+            mem_emb, mem_idx, mem_valid = self._gstep(
+                state.params, state.batch_stats, mem_emb, mem_idx,
+                mem_valid, *cur)
+
+        # per-chunk engine: the whole schedule when G == 1, the ragged
+        # tail (< G chunks) otherwise — no padded chunks are ever encoded
+        next_dev = None
+        if rest:
+            c, ci, cv = host_chunk(rest[0], I)
+            next_dev = (self._put(c), self._put(ci), self._put(cv))
+        for k, start in enumerate(rest):
+            cur = next_dev
+            if k + 1 < len(rest):
+                c, ci, cv = host_chunk(rest[k + 1], I)
                 next_dev = (self._put(c), self._put(ci), self._put(cv))
             mem_emb, mem_idx, mem_valid = self._step(
                 state.params, state.batch_stats, mem_emb, mem_idx,

@@ -94,6 +94,47 @@ def test_bf16_input_dtype_select(tiny_conf):
     assert (idx >= 0).all() and (idx < 12).all()
 
 
+def test_streaming_grouped_matches_ungrouped(tiny_conf):
+    """stream_chunk_group=G scans G chunks per dispatch; the selection
+    must be IDENTICAL to the per-chunk engine — params are constant
+    within a selection and the scan body is the same step applied in the
+    same chunk order. Covers no-tail (G divides), ragged-tail (mixed
+    grouped + per-chunk), and G > n_chunks (pure fallback) schedules."""
+    rng = jax.random.PRNGKey(3)
+    patches = np.asarray(jax.random.uniform(rng, (2, 34, 16, 16, 1)))
+    mask = np.ones((2, 34), bool)
+    mask[1, 30:] = False
+    base = tiny_conf.replace(N=34, M=4, I=5, eager=False)
+    ref = IPSTrainer(base, rng=jax.random.PRNGKey(11))
+    a = ref.select_streaming(patches, mask, rng)
+    for g in (2, 4, 8):   # 6 chunks: 3 groups / 1 group + 2 tail / all tail
+        tr = IPSTrainer(base.replace(stream_chunk_group=g),
+                        rng=jax.random.PRNGKey(11))
+        b = tr.select_streaming(patches, mask, rng)
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+        np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=1e-6)
+
+
+def test_streaming_grouped_train_loop(tiny_conf):
+    """eager=False + stream_chunk_group drives the full train loop."""
+    from ips_tpu.data.loader import DataLoader
+    from ips_tpu.train.loop import train_one_epoch
+    from ips_tpu.train.metrics import MetricsLogger
+    from tests.test_train_loop import SignalPatches
+
+    conf = tiny_conf.replace(N=12, M=4, I=4, eager=False, B=4, B_seq=4,
+                             n_class=10, stream_chunk_group=2)
+    data = SignalPatches(conf, n_samples=8)
+    loader = DataLoader(data, batch_size=conf.B_seq, shuffle=False)
+    trainer = IPSTrainer(conf)
+    log = MetricsLogger(conf.task_list)
+    train_one_epoch(trainer, loader, 0, log, conf)
+    assert len(log.losses_it["majority"]) == 2
+    assert np.isfinite(log.losses_it["majority"]).all()
+
+
 def test_streaming_cp_mesh_matches_single_device(tiny_conf):
     """Streaming under a (2,4) data x patch mesh: chunks shard over BOTH
     axes (each device encodes I/4 patches of every streamed chunk) and the
@@ -122,6 +163,17 @@ def test_streaming_cp_mesh_matches_single_device(tiny_conf):
     s = sharded._stream_sharding(np.zeros((4, 8, 16, 16, 1), np.float32))
     assert s.spec == ("data", "patch", None, None, None) or \
         tuple(s.spec) == ("data", "patch", None, None, None)
+
+    # grouped chunks under the same mesh: scan axis replicated, inner
+    # dims sharded like a single chunk — and the selection still matches
+    grouped = ShardedIPSTrainer(conf.replace(stream_chunk_group=2),
+                                rng=jax.random.PRNGKey(11))
+    c = grouped.select_streaming(patches, mask, rng)
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(c[2]))
+    np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(c[3]))
+    sg = grouped._stream_group_sharding(
+        np.zeros((2, 4, 8, 16, 16, 1), np.float32))
+    assert tuple(sg.spec) == (None, "data", "patch", None, None, None)
 
 
 def test_streaming_cp_train_loop(tiny_conf):
