@@ -21,7 +21,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ips_tpu.data.camelyon.dataset import default_buckets
-from ips_tpu.data.camelyon.methods import remove_alpha_channel
 from ips_tpu.data.camelyon.slide import SlideManager
 from ips_tpu.data.loader import Dataset
 
@@ -88,10 +87,12 @@ class CamelyonPatches(Dataset):
                 "set max_tiles")
         b = self.buckets[bi]
         tiles = np.zeros((b, ph, pw, 3), np.uint8)
-        for k, r in enumerate(rows.itertuples()):
-            t = np.asarray(slide.read_region((int(r.x), int(r.y)), self.lvl,
-                                             (pw, ph)))
-            tiles[k] = remove_alpha_channel(t)[:ph, :pw]
+        # batched read: array-backed readers gather all n tiles in one
+        # vectorized index (the per-tile Python loop was the dominant
+        # host cost of lazy large-N epochs); OpenSlide readers loop
+        # internally, as any WSI reader must
+        xy = rows[["x", "y"]].to_numpy()
+        slide.read_tiles(xy, self.lvl, (pw, ph), out=tiles[:n])
         mask = np.zeros(b, bool)
         mask[:n] = True
         out = {"input": tiles, "mask": mask}

@@ -138,6 +138,42 @@ class TestSlideModel:
         r = s.read_region((100, 100), 0, (64, 64))
         assert r.shape == (64, 64, 3)
 
+    def test_read_tiles_matches_loop(self):
+        """The vectorized grid gather must equal per-tile read_region on
+        every path: aligned grid (fast path), misaligned coords
+        (fallback), non-contiguous downsampled level (fallback), partly
+        out-of-bounds tiles (fallback, zero-padded)."""
+        s = ArraySlide(_tissue_image(416, 384), n_levels=3)
+
+        def loop(xys, lvl, wh):
+            w, h = wh
+            return np.stack([s.read_region((int(x), int(y)), lvl, wh)[
+                :h, :w, :3] for x, y in xys])
+
+        # aligned 32px grid at level 0 (contiguous -> vectorized path)
+        xys = [(0, 0), (32, 64), (352, 320), (64, 32), (320, 352)]
+        got = s.read_tiles(xys, 0, (32, 32))
+        np.testing.assert_array_equal(got, loop(xys, 0, (32, 32)))
+        assert got.dtype == np.uint8 and got.shape == (5, 32, 32, 3)
+        # preallocated out
+        out = np.zeros((5, 32, 32, 3), np.uint8)
+        assert s.read_tiles(xys, 0, (32, 32), out=out) is out
+        np.testing.assert_array_equal(out, got)
+        # misaligned coords -> fallback, same values
+        xys_mis = [(7, 13), (100, 50)]
+        np.testing.assert_array_equal(
+            s.read_tiles(xys_mis, 0, (32, 32)), loop(xys_mis, 0, (32, 32)))
+        # level 1 is a [::2, ::2] view (non-contiguous) -> fallback
+        np.testing.assert_array_equal(
+            s.read_tiles([(0, 0), (64, 64)], 1, (32, 32)),
+            loop([(0, 0), (64, 64)], 1, (32, 32)))
+        # out-of-bounds tail -> fallback zero-pads like read_region
+        xys_oob = [(384, 352), (400, 368)]
+        np.testing.assert_array_equal(
+            s.read_tiles(xys_oob, 0, (32, 32)), loop(xys_oob, 0, (32, 32)))
+        # empty request
+        assert s.read_tiles([], 0, (32, 32)).shape == (0, 32, 32, 3)
+
     @pytest.fixture()
     def cam_dir(self, tmp_path):
         from PIL import Image
