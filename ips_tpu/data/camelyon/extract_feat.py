@@ -79,7 +79,6 @@ def extract_features(data_dir: str, otsu_fname: str, bounds_pkl: str,
     import h5py
     import pandas as pd
 
-    from ips_tpu.data.camelyon.methods import remove_alpha_channel
     from ips_tpu.data.camelyon.slide import SlideManager
 
     bounds = pd.read_pickle(bounds_pkl)
@@ -92,25 +91,17 @@ def extract_features(data_dir: str, otsu_fname: str, bounds_pkl: str,
             slide = slide_man.get_slide(row.name)
             rows = coords.iloc[row.start_id:row.end_id + 1]
             feats, pos_ids = [], []
-            batch, batch_pos = [], []
-
-            def flush():
-                if batch:
-                    feats.append(encode(np.stack(batch)))
-                    pos_ids.extend(batch_pos)
-                    batch.clear()
-                    batch_pos.clear()
-
-            for r in rows.itertuples():
-                tile = np.asarray(slide.read_region(
-                    (int(r.x), int(r.y)), lvl, (tile_size, tile_size)))
-                tile = remove_alpha_channel(tile)
-                tile = center_crop(tile, TILE_CROP).astype(np.float32) / 255.0
-                batch.append(tile)
-                batch_pos.append(int(r.pos_id))
-                if len(batch) == batch_size:
-                    flush()
-            flush()
+            xy = rows[["x", "y"]].to_numpy()
+            all_pos = rows["pos_id"].to_numpy()
+            # batched tile reads (one vectorized gather per encoder batch
+            # on array-backed slides); crop/scale the whole batch at once
+            y0 = max(0, (tile_size - TILE_CROP) // 2)
+            for s in range(0, len(xy), batch_size):
+                tiles = slide.read_tiles(xy[s:s + batch_size], lvl,
+                                         (tile_size, tile_size))
+                tiles = tiles[:, y0:y0 + TILE_CROP, y0:y0 + TILE_CROP]
+                feats.append(encode(tiles.astype(np.float32) / 255.0))
+                pos_ids.extend(int(p) for p in all_pos[s:s + batch_size])
             slide.close()
 
             features_np = (np.concatenate(feats, axis=0) if feats
