@@ -267,6 +267,84 @@ class TestSlideModel:
             n = f["normal_001"]["img"].shape[0]
             assert f["normal_001"]["pos"].shape == (n,)
 
+    def test_pipelined_encoder_matches_sync(self, cam_dir):
+        """The async dispatch/fetch pipeline (depth-1 overlap + writer
+        thread) must write a byte-identical HDF5 to the eager callable
+        path — batch order, tail padding, and slide grouping included."""
+        import h5py
+        import pandas as pd
+
+        from ips_tpu.data.camelyon.extract_feat import extract_features
+        from ips_tpu.data.camelyon.foreground import compute_foreground
+        from ips_tpu.data.camelyon.otsu import compute_thresholds
+
+        compute_thresholds(cam_dir, "otsu4.csv", n_worker=1)
+        coords_p, bounds_p = compute_foreground(
+            cam_dir, "otsu4.csv", os.path.join(cam_dir, "fg4"), train=True,
+            tile_size=100, fg_perc_thresh=0.05, n_worker=1)
+
+        def toy(batch):   # (B, h, w, 3) float -> (B, 8)
+            return batch.mean(axis=(1, 2)).repeat(3, axis=-1)[:, :8]
+
+        class AsyncToy:
+            """Pipeline-API encoder whose fetch is deliberately deferred,
+            so misordered dispatch/fetch pairing would corrupt output."""
+
+            def dispatch(self, tiles_u8):
+                return np.array(tiles_u8)  # snapshot, like a device put
+
+            def fetch(self, handle):
+                return toy(handle.astype(np.float32) / 255.0)
+
+        p_sync = os.path.join(cam_dir, "feat_sync.h5")
+        p_pipe = os.path.join(cam_dir, "feat_pipe.h5")
+        extract_features(cam_dir, "otsu4.csv", bounds_p, coords_p, p_sync,
+                         tile_size=100, batch_size=3, encoder=toy)
+        extract_features(cam_dir, "otsu4.csv", bounds_p, coords_p, p_pipe,
+                         tile_size=100, batch_size=3, encoder=AsyncToy())
+        with h5py.File(p_sync) as a, h5py.File(p_pipe) as b:
+            assert list(a.keys()) == list(b.keys())
+            for name in a:
+                np.testing.assert_array_equal(a[name]["img"][:],
+                                              b[name]["img"][:])
+                np.testing.assert_array_equal(a[name]["pos"][:],
+                                              b[name]["pos"][:])
+                assert a[name].attrs["label"] == b[name].attrs["label"]
+
+    def test_writer_thread_error_propagates(self, cam_dir, tmp_path):
+        """A writer-side failure must raise on the main thread, not
+        deadlock the bounded queue."""
+        from ips_tpu.data.camelyon.extract_feat import extract_features
+        from ips_tpu.data.camelyon.foreground import compute_foreground
+        from ips_tpu.data.camelyon.otsu import compute_thresholds
+
+        compute_thresholds(cam_dir, "otsu5.csv", n_worker=1)
+        coords_p, bounds_p = compute_foreground(
+            cam_dir, "otsu5.csv", os.path.join(cam_dir, "fg5"), train=True,
+            tile_size=100, fg_perc_thresh=0.05, n_worker=1)
+
+        def bad_encoder(batch):  # wrong rank -> create_dataset fails
+            return np.zeros((), np.float32)
+
+        with pytest.raises(Exception):
+            extract_features(cam_dir, "otsu5.csv", bounds_p, coords_p,
+                             str(tmp_path / "bad.h5"), tile_size=100,
+                             batch_size=4, encoder=bad_encoder)
+
+    def test_uint8_injit_normalize_matches_fp32_feed(self):
+        """PipelinedJaxEncoder's uint8 feed (in-jit /255) must be bit-
+        identical to the legacy host-normalized fp32 feed."""
+        from ips_tpu.data.camelyon.extract_feat import PipelinedJaxEncoder
+
+        rng = np.random.default_rng(0)
+        tiles = rng.integers(0, 256, (5, 224, 224, 3), dtype=np.uint8)
+        enc = PipelinedJaxEncoder(enc_type="resnet18", batch_size=8)
+        pipe = enc.fetch(enc.dispatch(tiles))
+        enc.sync_fp32 = True
+        legacy = enc.fetch(enc.dispatch(tiles))
+        np.testing.assert_array_equal(pipe, legacy)
+        assert pipe.shape == (5, 512)
+
 
 class TestFeatureDataset:
     def test_buckets(self):
