@@ -205,6 +205,41 @@ class Config:
                                        # BN/dropout). Auto-disabled for
                                        # select_dtype=int8, whose buffer
                                        # embeddings are quantized
+    remat_encode: bool = False         # rematerialize the gradient-mode
+                                       # encoder (jax.checkpoint): the
+                                       # backward recomputes the encoder
+                                       # forward instead of keeping every
+                                       # intermediate conv activation
+                                       # resident across the aggregation
+                                       # transformer and its backward.
+                                       # EXACT — bit-identical losses,
+                                       # grads and updates (regression-
+                                       # tested); costs one extra encoder
+                                       # forward per train step
+    grad_encode_chunk: int = 0         # chunk the gradient re-encode of
+                                       # the M selected patches: the train
+                                       # forward lax.scans the encoder over
+                                       # (B, chunk, ...) slices with
+                                       # rematerialized bodies, bounding
+                                       # train-side activation memory at
+                                       # ONE chunk — the gradient-side
+                                       # analog of the selection engine's
+                                       # chunked pre-encode, for image mode
+                                       # at large M (the reference
+                                       # re-encodes all M at once,
+                                       # ips_net.py:264-283, which is the
+                                       # HBM binder there). 0 disables;
+                                       # values >= M behave like
+                                       # remat_encode. NOTE: train-mode
+                                       # BatchNorm then computes batch
+                                       # statistics per chunk (ghost batch
+                                       # norm: B*chunk rows instead of
+                                       # B*M; running averages update per
+                                       # chunk in order) — NOT bit-identical
+                                       # to the whole-batch forward; eval
+                                       # is untouched. Scan+remat equals a
+                                       # per-chunk python loop exactly
+                                       # (oracle-tested)
     select_unroll: int = 1             # lax.scan unroll factor for the
                                        # selection loop (semantics-identical;
                                        # lets XLA overlap scoring/top-k with
@@ -305,6 +340,8 @@ class Config:
                 "knob")
         if self.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
+        if self.grad_encode_chunk < 0:
+            raise ValueError("grad_encode_chunk must be >= 0 (0 disables)")
         if self.stream_chunk_group < 1:
             raise ValueError("stream_chunk_group must be >= 1")
         if self.use_pos and self.N <= 0:

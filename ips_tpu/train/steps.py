@@ -305,12 +305,68 @@ class IPSTrainer:
                       labels, weights, dropout_rng):
         conf = self.conf
         attn_mask = mem_mask if conf.mask_padding else None
-        preds, mutated = self.model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            mem_patch, mem_pos, attn_mask, train=True, weights=weights,
-            rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+        if conf.grad_encode_chunk or conf.remat_encode:
+            preds, new_bs = self._grad_forward(
+                params, batch_stats, mem_patch, mem_pos, attn_mask, weights,
+                dropout_rng)
+        else:
+            preds, mutated = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                mem_patch, mem_pos, attn_mask, train=True, weights=weights,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+            new_bs = mutated["batch_stats"]
         loss, task_losses = compute_task_losses(conf, preds, labels, weights)
-        return loss, (task_losses, preds, mutated["batch_stats"])
+        return loss, (task_losses, preds, new_bs)
+
+    def _grad_forward(self, params, batch_stats, mem_patch, mem_pos,
+                      attn_mask, weights, dropout_rng):
+        """Gradient-mode forward with bounded encoder activation memory.
+
+        ``remat_encode`` wraps the train-mode encode in ``jax.checkpoint``:
+        the backward recomputes the encoder forward instead of stashing its
+        activations across the aggregation transformer — exact.
+        ``grad_encode_chunk=c`` additionally ``lax.scan``s the encode over
+        (B, c, ...) slices of the M selected patches with rematerialized
+        bodies, so train-side activation memory is O(one chunk) — the
+        gradient analog of the selection engine's chunked pre-encode (the
+        reference re-encodes all M in one conv forward, ips_net.py:264-283).
+        Chunked train-mode BatchNorm computes batch statistics per chunk
+        (ghost batch norm; running averages update per chunk, in order).
+        A ``len(M) % c`` tail encodes as one smaller chunk, so no padded
+        patch row ever reaches BatchNorm statistics.
+        """
+        model, conf = self.model, self.conf
+
+        def enc(bs, x):
+            emb, mut = model.apply(
+                {"params": params, "batch_stats": bs}, x, train=True,
+                weights=weights, method=IPSModel.encode,
+                mutable=["batch_stats"])
+            return mut["batch_stats"], emb
+
+        B, M = mem_patch.shape[:2]
+        c = conf.grad_encode_chunk
+        remat_enc = jax.checkpoint(enc)
+        if c and c < M:
+            n_full, tail = divmod(M, c)
+            main = mem_patch[:, :M - tail].reshape(
+                (B, n_full, c) + mem_patch.shape[2:])
+            new_bs, embs = jax.lax.scan(remat_enc, batch_stats,
+                                        jnp.swapaxes(main, 0, 1))
+            emb = jnp.swapaxes(embs, 0, 1).reshape(B, M - tail, conf.D)
+            if tail:
+                new_bs, emb_tail = remat_enc(new_bs, mem_patch[:, M - tail:])
+                emb = jnp.concatenate([emb, emb_tail], axis=1)
+        else:
+            new_bs, emb = remat_enc(batch_stats, mem_patch)
+        if mem_pos is not None:
+            emb = emb + mem_pos
+        variables = {"params": params, "batch_stats": new_bs}
+        image_emb = model.apply(variables, emb, attn_mask, True,
+                                method=IPSModel.aggregate,
+                                rngs={"dropout": dropout_rng})
+        preds = model.apply(variables, image_emb, method=IPSModel.predict)
+        return preds, new_bs
 
     def _train_impl(self, state: TrainState, mem_patch, mem_pos, mem_mask,
                     labels, weights, rng, lr):
