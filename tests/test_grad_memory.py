@@ -182,6 +182,27 @@ def test_chunked_feature_mode():
     _tree_allclose(grads, ograds, rtol=1e-5, atol=1e-6)
 
 
+def test_chunked_under_steps_per_dispatch():
+    """grad_encode_chunk composes with K-step dispatch grouping: the
+    grouped driver must produce the same update sequence as K single
+    dispatches with chunking on (grouping is exact; ghost-BN chunking
+    changes the per-step math identically in both arms)."""
+    from tests.test_train_loop import _run_epochs
+    conf1 = _conf(grad_encode_chunk=2, M=4, I=4, use_pos=False,
+                  B=4, B_seq=4, n_epoch=2, lr=3e-4)
+    confK = conf1.replace(steps_per_dispatch=2)
+    t1, log1, _ = _run_epochs(conf1, 2)
+    tK, logK, _ = _run_epochs(confK, 2)
+    for task in ("majority", "multi"):
+        np.testing.assert_allclose(
+            np.asarray(log1.losses_epoch[task], np.float64),
+            np.asarray(logK.losses_epoch[task], np.float64), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(tK.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
 def test_chunked_trains_through_the_loop():
     """The fused epoch driver trains (loss decreases) with chunking on."""
     from tests.test_train_loop import SignalPatches
