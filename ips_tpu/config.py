@@ -148,7 +148,21 @@ class Config:
                                        # mnist bench shape (B=16, N=900,
                                        # bf16) one batch is ~69 MB, so
                                        # K=32 holds ~4-6 GB; halve K if a
-                                       # dense-image config OOMs
+                                       # dense-image config OOMs.
+                                       # PICKING K: measured-best is
+                                       # workload- AND host-dependent
+                                       # (mnist bench: K=32; camelyon
+                                       # feature: K=4 won the round-5
+                                       # uncontended A/B/A/B, K=8 won one
+                                       # CPU-contended session —
+                                       # results/k_ab_r5*.json). Decision
+                                       # rule: run scripts/probe_k_ab.py
+                                       # on YOUR host (it records a
+                                       # tunnel-bandwidth control row) and
+                                       # ship the K that wins the DRIVER
+                                       # column in both repetitions; on
+                                       # ties prefer smaller K (smaller
+                                       # staging quanta, lower HBM)
     stream_chunk_group: int = 4        # streaming (lazy) selection: chunks
                                        # per device dispatch. The host
                                        # stacks G consecutive I-chunks into
@@ -254,6 +268,23 @@ class Config:
     use_pallas: bool = False           # back-compat alias for score_impl='pallas'
     mesh_data: int = 1                 # data-parallel mesh axis size
     mesh_patch: int = 1                # context/patch-parallel mesh axis size
+    cp_select: str = "exact"           # context-parallel selection mode:
+                                       # 'exact' (default) runs the SINGLE
+                                       # global selection stream with each
+                                       # chunk's encode sharded over the
+                                       # patch axis and only (B, n, D)
+                                       # embeddings re-replicated for
+                                       # scoring — numerics identical to
+                                       # single-device on every eager path
+                                       # (the streaming path was already
+                                       # exact this way). 'local_merge' is
+                                       # the legacy approximation: per-shard
+                                       # local top-M + one global rescoring
+                                       # merge (zero cross-device traffic
+                                       # during the scan, Jaccard 0.97-0.99
+                                       # vs exact; fidelity-guarded in
+                                       # tests/test_cp_fidelity.py) — keep
+                                       # for bandwidth-starved meshes
     donate_buffers: bool = True        # donate train-state in jitted steps
     checkpoint_dir: str = ""           # orbax checkpoint dir ('' disables)
     checkpoint_every: int = 0          # epochs between checkpoints (0 disables)
@@ -328,11 +359,16 @@ class Config:
             raise ValueError("prefetch_depth must be >= 1")
         if self.select_unroll < 1:
             raise ValueError("select_unroll must be >= 1")
-        if self.select_unroll > 1 and self.mesh_patch > 1:
+        if self.cp_select not in ("exact", "local_merge"):
             raise ValueError(
-                "select_unroll > 1 is not supported with context "
-                "parallelism (mesh_patch > 1): the CP selection path runs "
-                "per-shard scans and would silently ignore the knob")
+                f"cp_select must be 'exact' or 'local_merge', got "
+                f"{self.cp_select!r}")
+        if (self.select_unroll > 1 and self.mesh_patch > 1
+                and self.cp_select == "local_merge"):
+            raise ValueError(
+                "select_unroll > 1 is not supported with "
+                "cp_select='local_merge': that path runs per-shard scans "
+                "and would silently ignore the knob")
         if self.select_unroll > 1 and not self.eager:
             raise ValueError(
                 "select_unroll > 1 needs eager=true: streaming (lazy) "
@@ -354,12 +390,14 @@ class Config:
             raise ValueError(
                 f"preencode_select must be true/false/'auto', got "
                 f"{self.preencode_select!r}")
-        if self.preencode_select is True and self.mesh_patch > 1:
+        if (self.preencode_select is True and self.mesh_patch > 1
+                and self.cp_select == "local_merge"):
             raise ValueError(
-                "preencode_select=true is not supported with context "
-                "parallelism (mesh_patch > 1): the CP selection path "
-                "streams per-shard chunks and would silently ignore the "
-                "knob (leave it 'auto', which stays off under CP)")
+                "preencode_select=true is not supported with "
+                "cp_select='local_merge': that path streams per-shard "
+                "chunks and would silently ignore the knob (leave it "
+                "'auto', which stays off there; cp_select='exact' "
+                "supports pre-encoding)")
         if self.img_size is not None:
             self.img_size = _as_tuple2(self.img_size)
         if self.cpu_collectives not in ("", "gloo", "mpi"):

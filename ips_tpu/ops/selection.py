@@ -93,7 +93,10 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
                prepermute: Optional[bool] = None,
                preencode: bool = False,
                preencode_chunked: bool = False,
-               unroll: int = 1) -> SelectionResult:
+               unroll: int = 1,
+               encode_wrap: Optional[Callable[[EncodeFn, jax.Array],
+                                              jax.Array]] = None
+               ) -> SelectionResult:
     """Iterative Patch Selection over a resident (eager) patch tensor.
 
     Args:
@@ -116,8 +119,20 @@ def ips_select(encode_fn: EncodeFn, score_fn: ScoreFn, patches: jax.Array,
         scan lets XLA overlap iteration k's small ops (scoring, top_k,
         gathers, concats) with iteration k+1's convs instead of
         serializing them at every carry boundary.
+      encode_wrap: optional (encode_fn, x) -> emb wrapper applied at every
+        selection encode. Exact context parallelism uses it to shard each
+        chunk's patch axis over the mesh's `patch` axis for the encode and
+        re-replicate the (B, n, D) embeddings for scoring — encoding is
+        per-patch, so the wrap CANNOT change numerics, only placement
+        (ShardedIPSTrainer._selection_encode_wrap).
     """
     B, N = patches.shape[:2]
+
+    if encode_wrap is not None:
+        base_encode_fn = encode_fn
+
+        def encode_fn(x):  # noqa: F811 - deliberate placement shadow
+            return encode_wrap(base_encode_fn, x)
 
     if mask is None:
         full_mask = jnp.ones((B, N), dtype=bool)

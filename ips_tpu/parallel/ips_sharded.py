@@ -7,19 +7,27 @@ Data parallelism: the trainer's jitted steps are compiled with
 mesh axis, parameters/optimizer state are replicated, and XLA inserts the
 gradient psums over ICI.
 
-Context parallelism (``ips_select_cp``): the N-patch axis is split into
-``n_shards`` contiguous slices; each slice runs the standard streaming
-top-M selection *locally* (zero cross-device traffic during the scan —
-the expensive part, since it encodes every patch), then the n_shards x M
-local survivors are merged with ONE global rescoring + top-M. Embeddings
-travel (M x D floats per shard), never raw patches.
+Context parallelism, two modes (conf.cp_select):
 
-Note: IPS scoring is softmax-normalized over each candidate set, so
-greedy streaming selection is itself order-dependent — the reference's
-single stream and this sharded variant are both heuristics of the same
-family, and they agree exactly whenever scores are set-independent
-(verified in tests/test_parallel.py). The merge step rescoring the union
-keeps the final M faithful to the full candidate pool.
+* ``'exact'`` (default): the single global selection stream of
+  `ips_select` runs unchanged; only each chunk's ENCODE is sharded over
+  the `patch` mesh axis, and the (B, n, D) embeddings are re-replicated
+  for scoring (`ShardedIPSTrainer._selection_encode_wrap`) — one
+  embedding all-gather per chunk over ICI, numerics IDENTICAL to
+  single-device on every eager path (the streaming path already used
+  this construction; tests/test_cp_exact.py asserts equality).
+
+* ``'local_merge'`` (opt-in, ``ips_select_cp``): the N-patch axis is
+  split into ``n_shards`` contiguous slices; each slice runs the
+  standard streaming top-M selection *locally* (zero cross-device
+  traffic during the scan), then the n_shards x M local survivors are
+  merged with ONE global rescoring + top-M. Embeddings travel
+  (M x D floats per shard), never raw patches. IPS scoring is
+  softmax-normalized over each candidate set, so this variant is a
+  heuristic of the same family as the reference's stream — it agrees
+  exactly whenever scores are set-independent (tests/test_parallel.py)
+  and at Jaccard 0.97-0.99 otherwise (tests/test_cp_fidelity.py). Keep
+  for bandwidth-starved meshes where the per-chunk all-gather hurts.
 """
 
 from __future__ import annotations
@@ -120,9 +128,13 @@ class ShardedIPSTrainer(IPSTrainer):
                 raise ValueError(
                     f"N={conf.N} must be divisible by the patch mesh axis "
                     f"({self.n_cp})")
-            if conf.M >= conf.N // self.n_cp:
+            # exact CP has no M constraint — it runs the single global
+            # stream; only the local-merge approximation needs every shard
+            # to hold M local survivors
+            if (conf.cp_select == "local_merge"
+                    and conf.M >= conf.N // self.n_cp):
                 raise ValueError(
-                    f"context parallelism needs M < N/mesh_patch "
+                    f"cp_select='local_merge' needs M < N/mesh_patch "
                     f"(M={conf.M}, N/mesh_patch={conf.N // self.n_cp})")
         super().__init__(conf, rng)
 
@@ -423,15 +435,49 @@ class ShardedIPSTrainer(IPSTrainer):
         return super().fused_assembled_eval_multi_step(
             patches, mask, labels, weights, sel_rngs)
 
+    def _selection_encode_wrap(self):
+        """Exact context parallelism for every eager selection path.
+
+        Encoding is per-patch, so placement cannot change numerics: shard
+        each selection encode's patch axis (dim 1) over the mesh `patch`
+        axis — every device encodes n/n_cp patches of each chunk — then
+        re-replicate the (B, n, D) embeddings so scoring + top-M run the
+        IDENTICAL single global stream as one device (the construction the
+        streaming path already uses via _stream_sharding; VERDICT round-4
+        item 4 ports it into the `ips_select` scan body). XLA compiles the
+        replication into one (B, n, D) all-gather per chunk over ICI —
+        embeddings travel, never raw patches."""
+        if self.n_cp <= 1 or self.conf.cp_select != "exact":
+            return None
+        mesh, n_cp = self.mesh, self.n_cp
+        n_dp = mesh.shape[DATA_AXIS]
+
+        def wrap(encode_fn, x):
+            dp = DATA_AXIS if x.shape[0] % n_dp == 0 else None
+            if x.shape[1] % n_cp == 0:
+                spec = P(dp, PATCH_AXIS, *([None] * (x.ndim - 2)))
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            emb = jax.lax.with_sharding_constraint(
+                encode_fn(x), NamedSharding(mesh, P(dp, None, None)))
+            return emb
+
+        return wrap
+
     def _select_impl(self, params, batch_stats, patches, mask, rng,
                      preencode=None, return_emb=False):
-        # `preencode` passes through to the base path; the CP path streams
-        # per-shard chunks and never pre-encodes (auto resolves off there)
         conf = self.conf
-        if self.n_cp <= 1:
+        if self.n_cp <= 1 or conf.cp_select == "exact":
+            # exact CP rides the base path: _selection_encode_wrap shards
+            # the chunk encodes; everything else is numerics-identical to
+            # single-device
             return super()._select_impl(params, batch_stats, patches, mask,
                                         rng, preencode=preencode,
                                         return_emb=return_emb)
+        # cp_select='local_merge': the legacy approximate merge (per-shard
+        # local top-M, zero comms during the scan, one global rescoring).
+        # `preencode` does not pass through — this path streams per-shard
+        # chunks and never pre-encodes ('auto' resolves off here).
         import jax.numpy as jnp
         if conf.input_dtype == "bfloat16" and patches.dtype != jnp.uint8:
             patches = patches.astype(jnp.bfloat16)

@@ -194,6 +194,13 @@ class IPSTrainer:
 
         return encode, score
 
+    def _selection_encode_wrap(self):
+        """Optional (encode_fn, x) -> emb placement wrapper for selection
+        encodes. None on a single device; ShardedIPSTrainer returns the
+        exact-CP wrapper (shard the chunk's patch axis for the encode,
+        replicate the embeddings for scoring) when mesh_patch > 1."""
+        return None
+
     # -- selection ----------------------------------------------------------
     def _pos_table_const(self):
         """Host pos table -> in-trace constant (no device read at trace)."""
@@ -257,6 +264,7 @@ class IPSTrainer:
             # single dispatch
             preencode_chunked=conf.is_image,
             unroll=conf.select_unroll,
+            encode_wrap=self._selection_encode_wrap(),
             return_emb=return_emb)
         if return_emb:
             return (res.mem_patch, res.mem_pos, res.mem_idx, res.mem_mask,

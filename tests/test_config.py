@@ -73,10 +73,13 @@ def test_preencode_select_accepts_auto_and_bools():
                             ).preencode_select is True
     with pytest.raises(ValueError, match="preencode_select"):
         config_from_dict({**base, "preencode_select": "always"})
-    # explicit True under CP is rejected; 'auto' is fine (stays off)
-    with pytest.raises(ValueError, match="context"):
+    # explicit True under the approximate CP merge is rejected ('auto' is
+    # fine — it stays off there); exact CP (the default) supports it
+    with pytest.raises(ValueError, match="local_merge"):
         config_from_dict({**base, "preencode_select": True, "mesh_patch": 2,
-                          "M": 4, "N": 16})
+                          "cp_select": "local_merge", "M": 4, "N": 16})
+    config_from_dict({**base, "preencode_select": True, "mesh_patch": 2,
+                      "M": 4, "N": 16})
     config_from_dict({**base, "mesh_patch": 2})
 
 
@@ -87,8 +90,11 @@ def test_select_unroll_rejected_where_silently_ignored():
     base = dict(N=16, M=4, I=4,
                 tasks={"t": {"id": 0, "name": "y", "act_fn": "softmax",
                              "metric": "accuracy"}})
-    with pytest.raises(ValueError, match="context parallelism"):
-        config_from_dict({**base, "select_unroll": 2, "mesh_patch": 2})
+    with pytest.raises(ValueError, match="local_merge"):
+        config_from_dict({**base, "select_unroll": 2, "mesh_patch": 2,
+                          "cp_select": "local_merge"})
+    # exact CP (default) runs the base scan, which honors the knob
+    config_from_dict({**base, "select_unroll": 2, "mesh_patch": 2})
     with pytest.raises(ValueError, match="eager"):
         config_from_dict({**base, "select_unroll": 2, "eager": False})
     config_from_dict({**base, "select_unroll": 2})

@@ -113,8 +113,11 @@ def test_mesh_rejects_indivisible_batch(mnist_dir):
 
 
 def test_mesh_rejects_cp_overflow(mnist_dir):
+    # only the approximate local-merge mode has the per-shard M
+    # constraint; exact CP (the default) runs the single global stream
     from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer
-    conf = _conf(mnist_dir, mesh_data=2, mesh_patch=4)  # N/cp=4 == M
+    conf = _conf(mnist_dir, mesh_data=2, mesh_patch=4).replace(
+        cp_select="local_merge")  # N/cp=4 == M
     with pytest.raises(ValueError, match="M < N/mesh_patch"):
         ShardedIPSTrainer(conf)
 
