@@ -57,8 +57,21 @@ def _background(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
     return np.clip(img, 0, 1)
 
 
-def _paint_sign(img: np.ndarray, rng: np.random.Generator, cls: int):
-    """Red-ring speed-limit sign with a class glyph; returns its bbox."""
+def _blend(img: np.ndarray, sel: np.ndarray, color, c: float) -> None:
+    """Alpha-blend `color` into img[sel] with weight c (c=1: opaque)."""
+    img[sel] = img[sel] * (1.0 - c) + np.asarray(color, np.float32) * c
+
+
+def _paint_sign(img: np.ndarray, rng: np.random.Generator, cls: int,
+                contrast: float = 1.0):
+    """Red-ring speed-limit sign with a class glyph; returns its bbox.
+
+    `contrast` < 1 alpha-blends the whole sign into the background
+    (weak-signal knob, VERDICT round-4 item 2): per-image draws near 0
+    leave the class glyph unrecognizable BY CONSTRUCTION while the label
+    stays non-EMPTY, so test accuracy plateaus strictly below 1.0 — the
+    same de-saturation device as the camelyon synth corpus's per-slide
+    contrast jitter (data/camelyon/synth.py)."""
     H, W = img.shape[:2]
     r = rng.uniform(0.05, 0.09) * H
     cy = rng.uniform(0.2, 0.6) * H
@@ -66,22 +79,23 @@ def _paint_sign(img: np.ndarray, rng: np.random.Generator, cls: int):
     ys = np.arange(H, dtype=np.float32)[:, None]
     xs = np.arange(W, dtype=np.float32)[None, :]
     d = np.sqrt((ys - cy) ** 2 + (xs - cx) ** 2)
-    img[d <= r] = (0.95, 0.92, 0.85)                      # interior
+    c = float(contrast)
+    _blend(img, d <= r, (0.95, 0.92, 0.85), c)            # interior
     ring = (d <= r) & (d >= 0.72 * r)
-    img[ring] = (0.82, 0.08, 0.10)                        # red ring
+    _blend(img, ring, (0.82, 0.08, 0.10), c)              # red ring
     u, v = (ys - cy) / r, (xs - cx) / r                   # sign-local coords
     inner = d < 0.64 * r
     dark = (0.08, 0.08, 0.10)
     if cls == 1:    # 50: two horizontal bars
-        img[inner & (np.abs(u + 0.25) < 0.12)] = dark
-        img[inner & (np.abs(u - 0.25) < 0.12)] = dark
+        _blend(img, inner & (np.abs(u + 0.25) < 0.12), dark, c)
+        _blend(img, inner & (np.abs(u - 0.25) < 0.12), dark, c)
     elif cls == 2:  # 70: one thick diagonal stroke
-        img[inner & (np.abs(u - v) < 0.17)] = dark
+        _blend(img, inner & (np.abs(u - v) < 0.17), dark, c)
     elif cls == 3:  # 80: two stacked discs
         dd = np.sqrt((u + 0.28) ** 2 + v ** 2)
-        img[inner & (dd < 0.22)] = dark
+        _blend(img, inner & (dd < 0.22), dark, c)
         dd = np.sqrt((u - 0.28) ** 2 + v ** 2)
-        img[inner & (dd < 0.22)] = dark
+        _blend(img, inner & (dd < 0.22), dark, c)
     return (cx + r, cy + r, cx - r, cy - r)   # (x_max, y_max, x_min, y_min)
 
 
@@ -93,7 +107,13 @@ def _annot_line(fname: str, entries) -> str:
 
 def generate_synth_sts(out_dir: str, n_per_set: int = 128, height: int = 600,
                        width: int = 800, seed: int = 0,
-                       occluded_frac: float = 0.08) -> None:
+                       occluded_frac: float = 0.08,
+                       contrast: float = 1.0,
+                       contrast_min: float | None = None) -> None:
+    """contrast/contrast_min: per-image sign contrast ~ U(contrast_min,
+    contrast) when contrast_min is given, else the fixed `contrast` —
+    draws near 0 are unrankable by construction, so accuracy plateaus
+    below 1.0 (weak-signal corpus for non-saturating curves)."""
     rng = np.random.default_rng(seed)
     from PIL import Image
     for set_name in ("Set1", "Set2"):
@@ -106,7 +126,9 @@ def generate_synth_sts(out_dir: str, n_per_set: int = 128, height: int = 600,
             fname = f"{set_name.lower()}_img{i:04d}.jpg"
             entries = []
             if cls > 0:
-                bbox = _paint_sign(img, rng, cls)
+                c = (rng.uniform(contrast_min, contrast)
+                     if contrast_min is not None else contrast)
+                bbox = _paint_sign(img, rng, cls, contrast=c)
                 vis = ("OCCLUDED" if rng.random() < occluded_frac
                        else "VISIBLE")
                 entries.append(
@@ -130,10 +152,15 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=600)
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--contrast", type=float, default=1.0,
+                   help="sign contrast in (0, 1]; with --contrast_min, a "
+                        "per-image U(contrast_min, contrast) draw")
+    p.add_argument("--contrast_min", type=float, default=None)
     p.add_argument("output_directory")
     a = p.parse_args(argv)
     generate_synth_sts(a.output_directory, a.n_per_set, a.height, a.width,
-                       a.seed)
+                       a.seed, contrast=a.contrast,
+                       contrast_min=a.contrast_min)
     print(f"wrote synthetic STS corpus to {a.output_directory}")
 
 

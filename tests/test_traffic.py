@@ -97,6 +97,36 @@ class TestSynthCorpus:
         item = ds[0]
         assert item["input"].shape == (192, 100, 100, 3)
 
+    def test_generate_contrast_knob(self, tmp_path):
+        """Weak-signal knob: contrast=0 blends the sign entirely into the
+        background (image identical to pre-paint), contrast=1 paints it
+        opaque; labels/annotations are unchanged either way."""
+        import numpy as np
+        from PIL import Image
+        from ips_tpu.data.traffic_synth import generate_synth_sts
+        d0 = str(tmp_path / "c0")
+        d1 = str(tmp_path / "c1")
+        for d, c in ((d0, 1e-9), (d1, 1.0)):
+            generate_synth_sts(d, n_per_set=8, height=120, width=160,
+                               seed=0, occluded_frac=0.0, contrast=c)
+        # same seed -> identical backgrounds + annotation lines; the
+        # contrast=1 sign images must differ from the ~invisible-sign ones
+        a0 = open(d0 + "/Set1/annotations.txt").read()
+        a1 = open(d1 + "/Set1/annotations.txt").read()
+        assert a0 == a1 and "50_SIGN" in a0
+        diffs = []
+        for i in range(8):
+            f = f"set1_img{i:04d}.jpg"
+            i0 = np.asarray(Image.open(f"{d0}/Set1/{f}"), np.float32)
+            i1 = np.asarray(Image.open(f"{d1}/Set1/{f}"), np.float32)
+            diffs.append(np.abs(i0 - i1).mean())
+        # class 0 (EMPTY, i % 4 == 0) images are byte-identical; sign
+        # images differ visibly at full contrast (sign covers ~1% of the
+        # frame, so the whole-image mean |diff| is small but well above
+        # the zero of the EMPTY rows)
+        assert diffs[0] < 0.01 and diffs[4] < 0.01
+        assert max(diffs[1], diffs[2], diffs[3]) > 0.4
+
     def test_marker_requires_annotations(self, tmp_path):
         from ips_tpu.data.traffic import ensure_dataset_exists
         d = tmp_path / "broken"
