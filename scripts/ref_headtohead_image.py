@@ -40,6 +40,7 @@ import time
 import types
 
 H2H_DIR = "data/h2h_mnist"
+H2H_MID_DIR = "data/h2h_mnist_mid"
 
 # CPU-sized but structurally faithful: N=225 so selection runs a real
 # 8-chunk scan (n_iter = ceil((225-25)/25)), all 4 tasks, shuffle +
@@ -53,16 +54,41 @@ OVERRIDES = dict(
 GEN = dict(n_train=128, n_test=64, width=750, height=750, n_noise=12,
            seed=0)
 
+# --scale mid (VERDICT round-4 next-item 1): a corpus big enough that
+# TEST metrics are signal, not seed noise — the round-4 128-image corpus
+# drove both frameworks into deep overfit (train acc 0.95+, test ~0.3).
+# 640 train / 512 test keeps the same per-image shape (N=225, 50x50
+# patches — the measured 0.35 s/image torch cost on this 1-CPU box) so
+# one torch seed is ~2.5 h; the VERDICT's sketched 2k@1000x1000/N=400
+# would be ~12 h/seed here, unrunnable twice within a round. 512 test
+# images put the binomial std of a test accuracy near 0.8 at ~1.8%.
+MID_OVERRIDES = dict(
+    data_dir=H2H_MID_DIR, n_epoch=24, n_epoch_warmup=3, B=8, B_seq=8,
+    n_worker=0, pin_memory=False, N=225, M=25, I=25,
+)
+MID_GEN = dict(n_train=640, n_test=512, width=750, height=750, n_noise=12,
+               seed=0)
+
+
+SCALE = "small"  # set by main(); selects corpus + output filenames
+
+
+def _setup():
+    if SCALE == "mid":
+        return MID_OVERRIDES, MID_GEN, H2H_MID_DIR, "_mid"
+    return OVERRIDES, GEN, H2H_DIR, ""
+
 
 def generate():
     sys.path.insert(0, ".")
+    overrides, gen, h2h_dir, _ = _setup()
     from ips_tpu.data.mnist import generate_megapixel_mnist
     generate_megapixel_mnist(
-        H2H_DIR, n_train=GEN["n_train"], n_test=GEN["n_test"],
-        width=GEN["width"], height=GEN["height"], noise=True,
-        n_noise=GEN["n_noise"], seed=GEN["seed"], digit_source="sklearn")
-    print(f"wrote {H2H_DIR} ({GEN['n_train']} train / {GEN['n_test']} test, "
-          f"{GEN['width']}x{GEN['height']})")
+        h2h_dir, n_train=gen["n_train"], n_test=gen["n_test"],
+        width=gen["width"], height=gen["height"], noise=True,
+        n_noise=gen["n_noise"], seed=gen["seed"], digit_source="sklearn")
+    print(f"wrote {h2h_dir} ({gen['n_train']} train / {gen['n_test']} test, "
+          f"{gen['width']}x{gen['height']})")
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +236,7 @@ def run_reference(seed=None):
     from torch.utils.data import DataLoader
 
     _install_stubs()
+    overrides, _, _, sfx = _setup()
     sys.path.insert(0, "/root/reference")
     from utils.utils import Logger, Struct                            # noqa
     from data.megapixel_mnist.mnist_dataset import MegapixelMNIST     # noqa
@@ -218,15 +245,15 @@ def run_reference(seed=None):
 
     with open("/root/reference/config/mnist_config.yml") as f:
         c = yaml.load(f, Loader=yaml.FullLoader)
-    c.update(OVERRIDES)
+    c.update(overrides)
     if seed is not None:
         # Seed-variance control: same corpus, different torch init/
         # shuffle stream, separate output file — quantifies how much of
         # any torch-vs-ips test gap is plain seed noise.
         c["seed"] = seed
     conf = Struct(**c)
-    out_path = ("results/ref_h2h_image_torch.jsonl" if seed is None
-                else f"results/ref_h2h_image_torch_seed{seed}.jsonl")
+    out_path = (f"results/ref_h2h_image{sfx}_torch.jsonl" if seed is None
+                else f"results/ref_h2h_image{sfx}_torch_seed{seed}.jsonl")
 
     device = torch.device("cpu")
     torch.manual_seed(conf.seed)
@@ -284,13 +311,14 @@ def run_ours():
     from ips_tpu.config import load_config
     from ips_tpu.main import run
 
+    ov, _, _, sfx = _setup()
     os.makedirs("results", exist_ok=True)
-    mpath = "results/ref_h2h_image_ips.jsonl"
+    mpath = f"results/ref_h2h_image{sfx}_ips.jsonl"
     if os.path.exists(mpath):
         os.remove(mpath)
     # Neutralize TPU-side perf knobs so the comparison is the plain fp32
     # path on both sides.
-    overrides = [f"{k}={v}" for k, v in OVERRIDES.items()
+    overrides = [f"{k}={v}" for k, v in ov.items()
                  if k not in ("n_worker", "pin_memory")]
     overrides += ["n_worker=0", "pin_memory=false", "sparse_input=false",
                   "steps_per_dispatch=1", "input_dtype=float32",
@@ -307,7 +335,12 @@ def main():
     p.add_argument("--run-ours", action="store_true")
     p.add_argument("--seed", type=int, default=None,
                    help="torch-side seed override (seed-variance control)")
+    p.add_argument("--scale", choices=["small", "mid"], default="small",
+                   help="small = round-4 128-image corpus; mid = 640/512 "
+                        "non-overfit corpus (VERDICT round-4 item 1)")
     a = p.parse_args()
+    global SCALE
+    SCALE = a.scale
     if a.generate:
         generate()
     if a.run_reference:
