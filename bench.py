@@ -16,6 +16,13 @@ Two builds are timed:
     results/ — 8/16/32 -> 31.1/30.4/29.8 ms/step); the headline takes
     the faster of the two.
 
+A second tracked workload — the camelyon feature-mode fused multi-step at
+reference scale (B=16, N=10k, 2048-dim, bf16, ln_fold, K=4) — is timed
+over a device-resident pool and folded into the same JSON line as
+camelyon_step_ms / camelyon_patches_per_sec (the driver contract is one
+line), so a regression in the camelyon hot path is visible to the round
+harness (VERDICT round-4 item 7).
+
 Prints ONE JSON line; extra detail goes to stderr.
 """
 
@@ -140,6 +147,54 @@ def bench_fused_multi(conf, K=32, n_warmup=2, n_iter=2) -> float:
     return _time_steps(step, n_warmup, n_iter) / K
 
 
+def _conf_camelyon(K: int):
+    """Reference camelyon feature scale (camelyon_config.yml: B=16,
+    M=I=5000, 2048-dim projector, D=512) with the shipped TPU knobs
+    (bf16, ln_fold). N=10k stands in for a large slide."""
+    from ips_tpu.config import config_from_dict
+    return config_from_dict(dict(
+        n_epoch=1, B=16, B_seq=16, n_epoch_warmup=1, lr=3e-4, wd=0.1,
+        n_class=1, is_image=False, enc_type="resnet50", n_chan_in=2048,
+        shuffle=True, shuffle_style="batch", n_token=1,
+        N=10_000, M=5_000, I=5_000, use_pos=False, H=8, D=512, D_k=64,
+        D_v=64, D_inner=2048, attn_dropout=0.1, dropout=0.1, ln_fold=True,
+        compute_dtype="bfloat16", donate_buffers=True, mask_padding=True,
+        steps_per_dispatch=K,
+        tasks={"task0": {"id": 0, "name": "metastases", "act_fn": "sigmoid",
+                         "metric": "auc"}}))
+
+
+def bench_camelyon_multi(K=4, n_warmup=2, n_iter=2) -> float:
+    """Wall seconds per optimizer step of the camelyon feature-mode fused
+    multi-step (K steps per dispatch, K distinct device-resident batches —
+    the k-sweep construction from scripts/probe_wall_residual.py, so the
+    number is compute + dispatch residual, not tunnel feed). Second
+    tracked metric (VERDICT round-4 item 7): a regression in the camelyon
+    hot path is visible to the round harness, not just the MNIST one."""
+    from ips_tpu.train.steps import IPSTrainer
+    conf = _conf_camelyon(K)
+    trainer = IPSTrainer(conf, rng=jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(0)
+    B, N, D_FEAT = conf.B, conf.N, conf.n_chan_in
+    feats = jax.device_put(
+        jax.random.normal(rng, (B, N, D_FEAT), jnp.bfloat16))
+    scale = (1.0 + 0.001 * jnp.arange(K, dtype=jnp.float32)
+             )[:, None, None, None].astype(jnp.bfloat16)
+    feats_k = feats[None] * scale
+    mask_k = jnp.ones((K, B, N), bool)
+    labels_k = {"metastases": jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32) % 2, (K, B))}
+    weights_k = jnp.broadcast_to(jnp.ones((B,), jnp.float32), (K, B))
+    rngs = jax.random.split(rng, K)
+    lrs = jnp.full((K,), 3e-4, jnp.float32)
+
+    def step():
+        losses, _, _ = trainer.fused_multi_step(feats_k, mask_k, labels_k,
+                                                weights_k, rngs, lrs)
+        return losses
+    return _time_steps(step, n_warmup, n_iter) / K
+
+
 def bench_split(conf, n_warmup=2, n_iter=4) -> float:
     from ips_tpu.train.steps import IPSTrainer
     trainer = IPSTrainer(conf)
@@ -204,6 +259,17 @@ def main():
     if t_base is None:
         t_base = t_opt  # no baseline available -> ratio 1.0
 
+    # Second tracked metric: camelyon feature-mode fused step (the other
+    # headline workload). Folded into the SAME JSON line — the driver
+    # contract is one line — as camelyon_step_ms / camelyon_patches_per_sec.
+    t_cam = None
+    try:
+        t_cam = bench_camelyon_multi()
+        print(f"camelyon feature step (bf16, ln_fold, 4 steps/dispatch): "
+              f"{t_cam * 1e3:.1f} ms/step", file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 - keep the headline JSON alive
+        print(f"camelyon measurement failed: {e}", file=sys.stderr)
+
     patches_per_sec = B * 900 / t_opt
     from ips_tpu.utils.profiling import device_peak_bytes
     peak = device_peak_bytes()
@@ -220,6 +286,9 @@ def main():
     }
     if t_multi is not None:
         out["multi_step_ms"] = round(t_multi * 1e3, 2)
+    if t_cam is not None:
+        out["camelyon_step_ms"] = round(t_cam * 1e3, 2)
+        out["camelyon_patches_per_sec"] = round(16 * 10_000 / t_cam, 1)
     print(json.dumps(out), flush=True)
 
 

@@ -1,0 +1,50 @@
+#!/bin/bash
+# VERDICT round-4 item 3: train THROUGH the gradient-memory path on chip.
+#
+# A multi-epoch camelyon_e2e run at the shipped 224x224 tile shape
+# (config/camelyon_e2e_config.yml) with M=256 and grad_encode_chunk=32 —
+# the configuration where the UNCHUNKED gradient re-encode cannot even
+# compile on one chip (136-146 GB temp, results/grad_memory_probe.json /
+# grad_memory_chip.json) — on a weak-signal synthetic WSI corpus
+# (per-slide contrast ~ U(0, 0.35): test AUC plateaus below 1.0), proving
+# the ghost-BN chunked numerics CONVERGE over a real schedule, not just
+# that 3 steps run.
+#
+# Slides are 5600x5600 px -> a 25x25 grid of 224px tiles; foreground
+# tile counts land in the ~200-450 range, so selection (M=256) is active
+# on the larger slides and the bucket pads to 640.
+#
+# Phases (1-CPU box: run sequentially, never race another python job):
+#   bash scripts/run_grad_memory_train.sh gen     # corpus + otsu + fg
+#   bash scripts/run_grad_memory_train.sh train   # TPU training run
+set -e
+DIR=/tmp/synth_cam_224
+CONTRAST=${CONTRAST:-0.35}
+
+case "$1" in
+gen)
+  python -m ips_tpu.data.camelyon.synth "$DIR" \
+    --n_normal 8 --n_tumor 8 --n_test 16 \
+    --height 5600 --width 5600 --contrast "$CONTRAST" --contrast_min 0.0 \
+    --seed 0
+  python -m ips_tpu.data.camelyon.otsu --lvl 0 --n_worker 1 \
+    "$DIR" otsu.csv
+  python -m ips_tpu.data.camelyon.foreground --train --lvl 0 \
+    --tile_size 224 --n_worker 1 "$DIR" otsu.csv "$DIR/fg"
+  python -m ips_tpu.data.camelyon.foreground --test --lvl 0 \
+    --tile_size 224 --n_worker 1 "$DIR" otsu.csv "$DIR/fg"
+  ;;
+train)
+  python -m ips_tpu.main --dataset camelyon_e2e \
+    --config config/camelyon_e2e_config.yml \
+    data_dir="$DIR" n_epoch=30 n_epoch_warmup=3 B=4 B_seq=4 \
+    'bucket_sizes=[640]' eager=false n_worker=2 \
+    grad_encode_chunk=32 \
+    metrics_path=results/grad_memory_train_metrics.jsonl \
+    2>&1 | tee results/grad_memory_train.log
+  ;;
+*)
+  echo "usage: $0 {gen|train}" >&2
+  exit 2
+  ;;
+esac
