@@ -25,7 +25,10 @@ No reference code is modified or copied.
 Both sides run the reference traffic config (N=192 patches of 100x100 at
 the native 1200x1600 resize, M=10, I=32, resnet18) with CPU-budget
 overrides: n_res_blocks=2 (the 4-block encoder doubles per-image cost on
-this 1-CPU box), pretrained=false, B=8, 18 epochs.
+this 1-CPU box), pretrained=false, B=8, 12 epochs (the torch arm costs
+~900 s/epoch on this box — measured on the calibration attempt,
+results/ref_h2h_traffic_torch_calib.jsonl — so 12 epochs is the largest
+complete cosine schedule that fits the round's CPU budget).
 
 Usage (1-CPU box: phases sequentially, never two at once):
     python scripts/ref_headtohead_traffic.py --generate
@@ -48,8 +51,13 @@ import types
 H2H_DIR = "data/h2h_traffic"
 
 OVERRIDES = dict(
-    data_dir=H2H_DIR, n_epoch=18, n_epoch_warmup=2, B=8, B_seq=8,
+    data_dir=H2H_DIR, n_epoch=12, n_epoch_warmup=2, B=8, B_seq=8,
     n_worker=0, pin_memory=False, pretrained=False, n_res_blocks=2,
+    # the reference has NO projection between encoder and transformer —
+    # a 2-block resnet18 ends at layer2 (128 ch), so the transformer
+    # must run at D=128; scale D_k/D_v/D_inner the way the reference's
+    # own 2-block config does (mnist_config.yml:42-46)
+    D=128, D_k=16, D_v=16, D_inner=512,
 )
 # 192 images/set -> 48/class; stored 600x800 (both pipelines resize to
 # their native 1200x1600, where the reference's hardcoded 100 px

@@ -40,6 +40,7 @@ train)
     data_dir="$DIR" n_epoch=30 n_epoch_warmup=3 B=4 B_seq=4 \
     'bucket_sizes=[640]' eager=false n_worker=2 \
     grad_encode_chunk=32 \
+    checkpoint_dir=/tmp/gm_ck checkpoint_every=3 resume=true \
     metrics_path=results/grad_memory_train_metrics.jsonl \
     2>&1 | tee results/grad_memory_train.log
   ;;
