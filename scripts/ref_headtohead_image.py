@@ -302,15 +302,26 @@ def run_reference(seed=None):
     print(f"wrote {out_path}")
 
 
-def run_ours():
-    # Pin to CPU before any jax device use (the image's sitecustomize
-    # registers the remote TPU backend in every process).
+def run_ours(device="cpu"):
+    # Default: pin to CPU before any jax device use (the image's
+    # sitecustomize registers the remote TPU backend in every process)
+    # so both arms are plain fp32 CPU. --device tpu moves the ips arm to
+    # the chip with jax_default_matmul_precision='highest' (exact fp32
+    # MXU passes, not the default bf16x3) — used for the mid-scale run
+    # where the 1-CPU box's serial lane is fully booked by the torch
+    # arms; the numerics caveat is documented in RESULTS.md.
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_default_matmul_precision", "highest")
     sys.path.insert(0, ".")
     from ips_tpu.config import load_config
     from ips_tpu.main import run
 
+    if device != "cpu":
+        from ips_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
     ov, _, _, sfx = _setup()
     os.makedirs("results", exist_ok=True)
     mpath = f"results/ref_h2h_image{sfx}_ips.jsonl"
@@ -338,6 +349,8 @@ def main():
     p.add_argument("--scale", choices=["small", "mid"], default="small",
                    help="small = round-4 128-image corpus; mid = 640/512 "
                         "non-overfit corpus (VERDICT round-4 item 1)")
+    p.add_argument("--device", choices=["cpu", "tpu"], default="cpu",
+                   help="ips arm device (tpu = highest-precision fp32)")
     a = p.parse_args()
     global SCALE
     SCALE = a.scale
@@ -346,7 +359,7 @@ def main():
     if a.run_reference:
         run_reference(seed=a.seed)
     if a.run_ours:
-        run_ours()
+        run_ours(a.device)
     if not (a.generate or a.run_reference or a.run_ours):
         p.print_help()
 

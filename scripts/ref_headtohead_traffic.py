@@ -305,13 +305,22 @@ def run_reference(seed=None, n_epoch=None):
     print(f"wrote {out_path}")
 
 
-def run_ours():
+def run_ours(device="cpu"):
+    # --device tpu: run the ips arm on chip with exact fp32 MXU passes
+    # (jax_default_matmul_precision='highest') — the 1-CPU box's serial
+    # lane is booked by the torch arm; caveat documented in RESULTS.md.
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_default_matmul_precision", "highest")
     sys.path.insert(0, ".")
     from ips_tpu.config import load_config
     from ips_tpu.main import run
 
+    if device != "cpu":
+        from ips_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
     os.makedirs("results", exist_ok=True)
     mpath = "results/ref_h2h_traffic_ips.jsonl"
     if os.path.exists(mpath):
@@ -334,13 +343,15 @@ def main():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--n_epoch", type=int, default=None,
                    help="override epochs (timing probes)")
+    p.add_argument("--device", choices=["cpu", "tpu"], default="cpu",
+                   help="ips arm device (tpu = highest-precision fp32)")
     a = p.parse_args()
     if a.generate:
         generate()
     if a.run_reference:
         run_reference(seed=a.seed, n_epoch=a.n_epoch)
     if a.run_ours:
-        run_ours()
+        run_ours(a.device)
     if not (a.generate or a.run_reference or a.run_ours):
         p.print_help()
 

@@ -19,6 +19,11 @@ from ips_tpu.train.metrics import MetricsLogger
 from ips_tpu.train.steps import IPSTrainer
 from test_train_loop import SignalPatches
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 
 def _conf(B, B_seq, **kw):
     from ips_tpu.config import config_from_dict

@@ -227,6 +227,7 @@ class TestSlideModel:
         assert set(bounds["name"]) == {"normal_001", "tumor_001"}
         assert (bounds["end_id"] >= bounds["start_id"]).all()
 
+    @pytest.mark.slow  # full otsu->foreground->extract_feat pipeline
     def test_offline_pipeline_end_to_end(self, cam_dir):
         """otsu CLI -> foreground CLI -> extract_feat with a toy encoder."""
         from ips_tpu.data.camelyon.extract_feat import extract_features
@@ -267,6 +268,7 @@ class TestSlideModel:
             n = f["normal_001"]["img"].shape[0]
             assert f["normal_001"]["pos"].shape == (n,)
 
+    @pytest.mark.slow
     def test_pipelined_encoder_matches_sync(self, cam_dir):
         """The async dispatch/fetch pipeline (depth-1 overlap + writer
         thread) must write a byte-identical HDF5 to the eager callable
@@ -377,6 +379,7 @@ class TestFeatureDataset:
 
 
     @pytest.mark.parametrize("spd", [1, 2])
+    @pytest.mark.slow  # multi-epoch bucket-batched train
     def test_bucket_batched_training(self, tmp_path, feat_conf, spd):
         """B_seq > 1 on variable-N features via bucket-batched loading —
         the fused select+train path (and steps_per_dispatch) now applies
@@ -414,6 +417,7 @@ class TestFeatureDataset:
         assert 0.0 <= log.metrics["metastases"][-1] <= 1.0
 
 
+    @pytest.mark.slow
     def test_bucket_batched_training_on_mesh(self, tmp_path, feat_conf):
         """Bucket-batched B_seq > 1 under the data-parallel mesh: per-
         bucket shapes each compile against the sharded jits, params stay
@@ -495,6 +499,8 @@ class TestSynthCorpus:
         assert np.ptp(strengths) > 5.0, strengths
 
 
+# Tier: streaming uint8 end-to-end trains -- full pass only.
+@pytest.mark.slow
 class TestEndToEndImageMode:
     """CamelyonPatches: raw uint8 tiles through selection + training."""
 

@@ -18,8 +18,12 @@ import pytest
 from ips_tpu.train.steps import IPSTrainer
 from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh")
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"),
+    # Tier: 8-device shard_map equality suite -- full pass only.
+    pytest.mark.slow,
+]
 
 
 def _mk_batch(conf, rng, B=None):

@@ -23,6 +23,11 @@ from ips_tpu.ops.selection import ips_select
 from ips_tpu.parallel.ips_sharded import ips_select_cp
 from ips_tpu.train.steps import IPSTrainer
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 TASKS = {
     "task0": {"id": 0, "name": "majority", "act_fn": "softmax",
               "metric": "accuracy"},

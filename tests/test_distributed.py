@@ -25,6 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow  # spawns two jax.distributed processes
 def test_two_process_init_mesh_and_reduction():
     port = _free_port()
     env = dict(os.environ)

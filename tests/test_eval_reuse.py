@@ -16,6 +16,11 @@ import pytest
 
 from ips_tpu.train.steps import IPSTrainer
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 
 def _assert_same(out_a, out_b, atol=1e-6):
     loss_a, tl_a, preds_a = out_a

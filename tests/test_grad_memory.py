@@ -21,6 +21,11 @@ from ips_tpu.config import config_from_dict
 from ips_tpu.models.ips_net import IPSModel
 from ips_tpu.train.steps import IPSTrainer, compute_task_losses
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 
 def _conf(**over):
     base = dict(

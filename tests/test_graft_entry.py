@@ -6,6 +6,11 @@ sys.path.insert(0, ".")  # repo root for __graft_entry__
 
 import jax
 import numpy as np
+import pytest
+
+# Tier: full-model multi-device compiles -- excluded from the fast
+# signal tier (pytest -m 'not slow'); the driver also runs the dryrun.
+pytestmark = pytest.mark.slow
 
 
 def test_entry_jits():

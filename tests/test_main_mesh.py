@@ -14,6 +14,11 @@ import pytest
 from ips_tpu.config import config_from_dict
 from ips_tpu.main import build_trainer, run
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 TASKS = {
     "task0": {"id": 0, "name": "majority", "act_fn": "softmax",
               "metric": "accuracy"},

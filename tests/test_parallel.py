@@ -9,6 +9,11 @@ from ips_tpu.ops.selection import ips_select
 from ips_tpu.parallel.ips_sharded import ShardedIPSTrainer, ips_select_cp
 from ips_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 
 def _value_encode(x):
     return jnp.concatenate([x, x], axis=-1)

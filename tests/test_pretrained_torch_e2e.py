@@ -21,6 +21,11 @@ import jax.numpy as jnp  # noqa: E402
 from ips_tpu.models.pretrained import main as convert_main  # noqa: E402
 from tests.test_pretrained import _fake_resnet18_state  # noqa: E402
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 
 def _torch_state_dict(rng):
     return {k: torch.from_numpy(v)

@@ -16,6 +16,11 @@ import pytest
 
 from ips_tpu.train.steps import IPSTrainer
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 # (seed, B, N, M, I, G, masked) — shapes chosen to hit: ragged last
 # chunk, single chunk, G dividing / not dividing / exceeding n_chunks
 CASES = [

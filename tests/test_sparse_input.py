@@ -10,6 +10,11 @@ from ips_tpu.data.mnist import MegapixelMNIST, generate_megapixel_mnist
 from ips_tpu.native import densify_patchify
 from ips_tpu.ops.densify import densify_patches
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 
 class TestDensifyOp:
     def test_matches_host_op(self, np_rng):

@@ -7,6 +7,11 @@ import pytest
 
 from ips_tpu.train.steps import IPSTrainer
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def trainer(tiny_conf):

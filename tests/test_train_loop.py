@@ -15,6 +15,11 @@ from ips_tpu.train.loop import BatchAssembler, evaluate, train_one_epoch
 from ips_tpu.train.metrics import MetricsLogger
 from ips_tpu.train.steps import IPSTrainer
 
+# Tier: multi-minute end-to-end/compile-heavy suite -- excluded from
+# the fast signal tier (pytest -m 'not slow'); run in the full pass.
+pytestmark = pytest.mark.slow
+
+
 
 class SignalPatches(Dataset):
     """Each sample: N noise patches, one carries a class-dependent pattern."""
