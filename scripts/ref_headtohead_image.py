@@ -302,7 +302,7 @@ def run_reference(seed=None):
     print(f"wrote {out_path}")
 
 
-def run_ours(device="cpu"):
+def run_ours(device="cpu", seed=None):
     # Default: pin to CPU before any jax device use (the image's
     # sitecustomize registers the remote TPU backend in every process)
     # so both arms are plain fp32 CPU. --device tpu moves the ips arm to
@@ -324,7 +324,10 @@ def run_ours(device="cpu"):
         enable_compilation_cache()
     ov, _, _, sfx = _setup()
     os.makedirs("results", exist_ok=True)
-    mpath = f"results/ref_h2h_image{sfx}_ips.jsonl"
+    # --seed k: ips-side seed-variance control, mirroring the torch-side
+    # one — same corpus, different init/shuffle/dropout stream.
+    mpath = (f"results/ref_h2h_image{sfx}_ips.jsonl" if seed is None
+             else f"results/ref_h2h_image{sfx}_ips_seed{seed}.jsonl")
     if os.path.exists(mpath):
         os.remove(mpath)
     # Neutralize TPU-side perf knobs so the comparison is the plain fp32
@@ -334,6 +337,8 @@ def run_ours(device="cpu"):
     overrides += ["n_worker=0", "pin_memory=false", "sparse_input=false",
                   "steps_per_dispatch=1", "input_dtype=float32",
                   "compute_dtype=float32", f"metrics_path={mpath}"]
+    if seed is not None:
+        overrides += [f"seed={seed}"]
     conf = load_config("config/mnist_config.yml", overrides)
     run(conf, "mnist")
     print(f"wrote {mpath}")
@@ -345,7 +350,8 @@ def main():
     p.add_argument("--run-reference", action="store_true")
     p.add_argument("--run-ours", action="store_true")
     p.add_argument("--seed", type=int, default=None,
-                   help="torch-side seed override (seed-variance control)")
+                   help="seed override for either arm (seed-variance "
+                        "control; applies to --run-reference / --run-ours)")
     p.add_argument("--scale", choices=["small", "mid"], default="small",
                    help="small = round-4 128-image corpus; mid = 640/512 "
                         "non-overfit corpus (VERDICT round-4 item 1)")
@@ -359,7 +365,7 @@ def main():
     if a.run_reference:
         run_reference(seed=a.seed)
     if a.run_ours:
-        run_ours(a.device)
+        run_ours(a.device, seed=a.seed)
     if not (a.generate or a.run_reference or a.run_ours):
         p.print_help()
 
