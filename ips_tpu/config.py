@@ -308,6 +308,15 @@ class Config:
     img_size: Optional[List[int]] = None  # dataset resize (H, W) override for
                                        # the traffic pipeline (None = the
                                        # reference's fixed 1200x1600)
+    max_shift: Optional[int] = None    # traffic train-time translate bound in
+                                       # px (reference RandomAffine shifts up
+                                       # to 100 px, traffic_dataset.py:282).
+                                       # None = scale 100 px with any img_size
+                                       # override; set explicitly to match the
+                                       # reference's FIXED 100 px at a reduced
+                                       # img_size (the reference's translate
+                                       # fraction 100/IMG_SIZE keeps 100 px at
+                                       # any resolution)
     multihost: bool = False            # initialize jax.distributed before
                                        # training: the CLI becomes one
                                        # process of a multi-host run. On TPU
@@ -400,6 +409,8 @@ class Config:
                 "supports pre-encoding)")
         if self.img_size is not None:
             self.img_size = _as_tuple2(self.img_size)
+        if self.max_shift is not None and self.max_shift < 0:
+            raise ValueError("max_shift must be >= 0")
         if self.cpu_collectives not in ("", "gloo", "mpi"):
             raise ValueError(
                 f"unknown cpu_collectives {self.cpu_collectives!r}")

@@ -295,9 +295,15 @@ class TrafficSigns(Dataset):
         self.seed = conf.seed
         self.img_size = conf.img_size or IMG_SIZE
         # reference shifts up to 100 px at 1200x1600
-        # (traffic_dataset.py:282); scale with any img_size override
-        self.max_shift = (max(1, round(100 * self.img_size[0] / 1200)),
-                          max(1, round(100 * self.img_size[1] / 1600)))
+        # (traffic_dataset.py:282); scale with any img_size override, or
+        # take conf.max_shift verbatim (the reference's translate
+        # FRACTION 100/IMG_SIZE yields 100 px at ANY resolution — set
+        # max_shift=100 to match it exactly at a reduced img_size)
+        if getattr(conf, "max_shift", None) is not None:
+            self.max_shift = (conf.max_shift, conf.max_shift)
+        else:
+            self.max_shift = (max(1, round(100 * self.img_size[0] / 1200)),
+                              max(1, round(100 * self.img_size[1] / 1600)))
         # input_norm='imagenet' moves normalization ON DEVICE
         # (models/ips_net.py) so patches ship as compact uint8 — 4x less
         # host->HBM traffic through the loader

@@ -22,13 +22,24 @@ gate (`ensure_dataset_exists`, traffic_dataset.py:35-97) is stubbed to a
 no-op: the synthetic corpus is already on disk and there is no egress.
 No reference code is modified or copied.
 
-Both sides run the reference traffic config (N=192 patches of 100x100 at
-the native 1200x1600 resize, M=10, I=32, resnet18) with CPU-budget
-overrides: n_res_blocks=2 (the 4-block encoder doubles per-image cost on
-this 1-CPU box), pretrained=false, B=8, 12 epochs (the torch arm costs
-~900 s/epoch on this box — measured on the calibration attempt,
-results/ref_h2h_traffic_torch_calib.jsonl — so 12 epochs is the largest
-complete cosine schedule that fits the round's CPU budget).
+Both sides run the reference traffic STRUCTURE (N=192, M=10, I=32,
+resnet18, ColorJitter 0.1x4 + 100 px translate + visibility filter) at a
+quarter of the pixel cost: 600x800 resize with 50x50 patches instead of
+1200x1600 with 100x100 — same patch grid (12x16=192), same per-patch
+sign fraction, same selection loop shape. The full-res torch arm costs
+~944 s/epoch TRAIN ALONE on this 1-CPU box (measured,
+results/ref_h2h_traffic_torch_calib.jsonl) and eval is nearly as
+expensive as train in IPS (selection dominates), so a complete 12-epoch
+full-res schedule is ~6 h — unrunnable in a round. At quarter cost a
+complete 12-epoch cosine schedule fits (~55 min measured: 145 s train +
+~120 s eval per epoch). The torch arm keeps
+the reference's own translate semantics (RandomAffine fraction
+100/IMG_SIZE == 100 px at any resolution — the harness sets the
+TrafficSigns.IMG_SIZE class constant to (600, 800), configuration of a
+hardcoded constant, no code modified); the ips arm matches it with the
+max_shift=100 config override (ips otherwise SCALES the shift with
+img_size). Additional CPU-budget overrides: n_res_blocks=2 (the 4-block
+encoder doubles per-image cost), pretrained=false, B=8.
 
 Usage (1-CPU box: phases sequentially, never two at once):
     python scripts/ref_headtohead_traffic.py --generate
@@ -58,7 +69,14 @@ OVERRIDES = dict(
     # must run at D=128; scale D_k/D_v/D_inner the way the reference's
     # own 2-block config does (mnist_config.yml:42-46)
     D=128, D_k=16, D_v=16, D_inner=512,
+    # quarter-cost spec: 600x800 resize, 50x50 patches -> the SAME
+    # 12x16=192 patch grid as the reference's 1200x1600/100x100
+    patch_size=[50, 50], patch_stride=[50, 50],
 )
+# ips-arm-only overrides (unknown to the reference Struct's consumers,
+# but harmless there; listed separately for clarity)
+IPS_OVERRIDES = dict(img_size=[600, 800], max_shift=100)
+REF_IMG_SIZE = (600, 800)  # patched onto TrafficSigns.IMG_SIZE
 # 192 images/set -> 48/class; stored 600x800 (both pipelines resize to
 # their native 1200x1600, where the reference's hardcoded 100 px
 # translate and ips_tpu's scaled max_shift agree exactly)
@@ -244,6 +262,12 @@ def run_reference(seed=None, n_epoch=None):
     # md5-or-download gate (traffic_dataset.py:35-97) — everything
     # downstream (parsing, filtering, transforms) runs unmodified.
     tds.ensure_dataset_exists = lambda *a, **k: None
+    # Quarter-cost resolution: IMG_SIZE is a hardcoded class constant
+    # (traffic_dataset.py:265); setting it is configuration, not a code
+    # change — every transform (Resize target, the translate fraction
+    # 100/IMG_SIZE -> still 100 px) follows from the reference's own
+    # formulas at the new size.
+    tds.TrafficSigns.IMG_SIZE = REF_IMG_SIZE
 
     with open("/root/reference/config/traffic_config.yml") as f:
         c = yaml.load(f, Loader=yaml.FullLoader)
@@ -325,11 +349,13 @@ def run_ours(device="cpu"):
     mpath = "results/ref_h2h_traffic_ips.jsonl"
     if os.path.exists(mpath):
         os.remove(mpath)
-    overrides = [f"{k}={v}" for k, v in OVERRIDES.items()
+    overrides = [f"{k}={v}" for k, v in
+                 list(OVERRIDES.items()) + list(IPS_OVERRIDES.items())
                  if k not in ("n_worker", "pin_memory")]
     overrides += ["n_worker=0", "pin_memory=false",
                   "steps_per_dispatch=1", "input_dtype=float32",
-                  "compute_dtype=float32", f"metrics_path={mpath}"]
+                  "compute_dtype=float32", "input_norm=none",
+                  f"metrics_path={mpath}"]
     conf = load_config("config/traffic_config.yml", overrides)
     run(conf, "traffic")
     print(f"wrote {mpath}")

