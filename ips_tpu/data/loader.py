@@ -136,6 +136,26 @@ class DataLoader:
             batches = [b[lo:lo + k] for b in batches]
         return batches
 
+    def skip_epochs(self, k: int) -> None:
+        """Advance the shuffle stream past `k` epochs without loading data.
+
+        A resumed run (checkpoint restore at start_epoch > 0) otherwise
+        replays the shuffle order of a FRESH run — epoch k would get the
+        data order a fresh run used at epoch 0 (the reference has the
+        same wart: torch's DataLoader reshuffles from the generator
+        state at construction). Calling skip_epochs(start_epoch) after
+        restore consumes exactly the draws __iter__ would have, so the
+        resumed schedule is sample-order-identical to an unbroken run.
+        Also realigns datasets with a sequential augmentation stream
+        (e.g. traffic's per-item draw counter) via their `skip_draws`
+        hook."""
+        n_items = 0
+        for _ in range(max(0, k)):
+            n_items += sum(len(b) for b in self._batch_indices())
+        skip = getattr(self.dataset, "skip_draws", None)
+        if skip is not None and n_items:
+            skip(n_items)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batch_indices()
         if self.num_workers == 0:

@@ -318,6 +318,13 @@ class TrafficSigns(Dataset):
     def __len__(self):
         return len(self._data)
 
+    def skip_draws(self, n: int) -> None:
+        """Advance the augmentation stream by n item fetches (resume
+        support: Loader.skip_epochs realigns a restored run with the
+        unbroken run's per-item draw counter)."""
+        import itertools
+        self._draw = itertools.count(next(self._draw) + n)
+
     def _load_image(self, fpath: str) -> np.ndarray:
         from PIL import Image
         img = Image.open(fpath).convert("RGB")

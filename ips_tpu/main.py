@@ -159,6 +159,11 @@ def run(conf: Config, dataset: str):
         ckpt_mgr = CheckpointManager(conf.checkpoint_dir)
         if conf.resume:
             start_epoch = ckpt_mgr.restore(trainer) or 0
+            if start_epoch:
+                # Realign the shuffle/augmentation streams so the
+                # resumed schedule is sample-order-identical to an
+                # unbroken run (Loader.skip_epochs docstring).
+                train_loader.skip_epochs(start_epoch)
 
     log_train = MetricsLogger(conf.task_list)
     log_test = MetricsLogger(conf.task_list)

@@ -97,6 +97,36 @@ class TestDataLoader:
         with pytest.raises(RuntimeError, match="boom"):
             list(DataLoader(Bad(4), 2, num_workers=2))
 
+    def test_skip_epochs_realigns_resumed_shuffle(self):
+        """A restored run's loader must produce the SAME per-epoch
+        sample order as the unbroken run (resume support: main.py calls
+        skip_epochs(start_epoch) after checkpoint restore)."""
+        unbroken = DataLoader(_Rand(17), 4, shuffle=True, seed=7)
+        orders = [np.concatenate([b["y"] for b in unbroken])
+                  for _ in range(4)]
+        resumed = DataLoader(_Rand(17), 4, shuffle=True, seed=7)
+        resumed.skip_epochs(2)
+        np.testing.assert_array_equal(
+            np.concatenate([b["y"] for b in resumed]), orders[2])
+        np.testing.assert_array_equal(
+            np.concatenate([b["y"] for b in resumed]), orders[3])
+
+    def test_skip_epochs_realigns_dataset_draws(self):
+        """skip_epochs forwards the item-fetch count to the dataset's
+        skip_draws hook (traffic's sequential augmentation counter)."""
+        class Counting(_Rand):
+            def __init__(self, n):
+                super().__init__(n)
+                self.skipped = 0
+
+            def skip_draws(self, n):
+                self.skipped += n
+
+        ds = Counting(10)
+        dl = DataLoader(ds, 4, shuffle=True, seed=0)
+        dl.skip_epochs(3)
+        assert ds.skipped == 30  # 10 items x 3 epochs, tail included
+
 
 class TestMegapixelMNIST:
     @pytest.fixture(scope="class")

@@ -293,6 +293,19 @@ class TestImgSizeAndUint8Mode:
         it = ds0[0]["input"]
         assert it.shape == (48, 50, 50, 3)
 
+    def test_skip_draws_matches_unbroken_stream(self, tmp_path):
+        """skip_draws(n) reproduces the unbroken augmentation stream: a
+        dataset that skipped n draws returns the same augmented item the
+        original returns on its (n+1)-th fetch (resume realignment)."""
+        conf = self._synth_conf(tmp_path)
+        a = TrafficSigns(conf, train=True)
+        for i in (0, 1, 2):
+            a[i]
+        want = a[3]["input"]
+        b = TrafficSigns(conf, train=True)
+        b.skip_draws(3)
+        np.testing.assert_array_equal(b[3]["input"], want)
+
     def test_uint8_mode_emits_uint8_and_matches_float_path(self, tmp_path):
         conf_u8 = self._synth_conf(tmp_path, input_norm="imagenet")
         conf_f32 = self._synth_conf(tmp_path)
